@@ -1,0 +1,173 @@
+"""Root decompositions: K = R R^T (and K^{-1} = S S^T).
+
+Reference: linear_operator/functions/_root_decomposition.py:11-173 and the
+dispatch in operators/_linear_operator.py:2157-2307, :543-561.
+
+Backward: differentiating natively through the Lanczos ``fori_loop`` is
+possible but numerically unstable (the reorthogonalization chain amplifies
+roundoff in reverse mode), so the Lanczos path uses a Murray (2016)-style
+custom VJP exactly like the reference (functions/_root_decomposition.py:
+104-173): with K = R R^T and pseudo-inverse root S (S^T = R^+),
+
+    K_bar =  1/2 sym(R_bar S^T)                      (root cotangent)
+          -  1/2 sym((S S^T S) S_bar^T)              (inverse-root cotangent)
+
+pushed to the operator leaves through ONE ``_bilinear_derivative`` over
+stacked left/right factors, so gradients reach arbitrarily nested operators.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import settings
+from ..solvers.lanczos import lanczos_tridiag
+
+
+def _lanczos_root_impl(op, key, k: int):
+    n = op.shape[-1]
+    init = jax.random.normal(key, (*op.batch_shape, n), dtype=op.dtype)
+    Q, T = lanczos_tridiag(op._matmul, k, init_vecs=init)
+    kk = T.shape[-1]
+    jitter = settings.tridiagonal_jitter.value()
+    T = T + jitter * jnp.eye(kk, dtype=T.dtype)
+    evals, evecs = jnp.linalg.eigh(T)
+    evals = jnp.maximum(evals, 0.0)
+    sqrt_evals = jnp.sqrt(evals)
+    root = Q @ (evecs * sqrt_evals[..., None, :])
+    inv_sqrt = jnp.where(evals > 1e-12, 1.0 / jnp.maximum(sqrt_evals, 1e-12), 0.0)
+    inv_root = Q @ (evecs * inv_sqrt[..., None, :])
+    return root, inv_root
+
+
+def _lanczos_root(op, key, need_inverse: bool):
+    k = min(settings.max_root_decomposition_size.value(), op.shape[-1])
+
+    @jax.custom_vjp
+    def inner(op):
+        return _lanczos_root_impl(op, key, k)
+
+    def fwd(op):
+        root, inv_root = _lanczos_root_impl(op, key, k)
+        return (root, inv_root), (op, root, inv_root)
+
+    def bwd(res, cotangents):
+        op, root, inv_root = res
+        root_bar, inv_bar = cotangents
+        # K_bar = 1/4 (R_bar S^T + S R_bar^T) - 1/4 (P S_bar^T + S_bar P^T)
+        # with P = S S^T S (scalar check: k = r^2 -> k_bar = r_bar/(2r)).
+        lefts, rights = [], []
+        if root_bar is not None:
+            lefts += [0.25 * root_bar, 0.25 * inv_root]
+            rights += [inv_root, root_bar]
+        if inv_bar is not None:
+            p = inv_root @ (jnp.swapaxes(inv_root, -1, -2) @ inv_root)
+            lefts += [-0.25 * p, -0.25 * inv_bar]
+            rights += [inv_bar, p]
+        left = jnp.concatenate(lefts, axis=-1)
+        right = jnp.concatenate(rights, axis=-1)
+        return (op._bilinear_derivative(left, right),)
+
+    inner.defvjp(fwd, bwd)
+    root, inv_root = inner(op)
+    if not need_inverse:
+        return root, None
+    return root, inv_root
+
+
+def root_decomposition(op, method: str | None = None, *, key: jax.Array | None = None):
+    """Operator equal to ``op`` carrying a root (reference :2157-2218)."""
+    from ..operators._linear_operator import LinearOperator, _fallback_key
+    from ..operators.chol import CholLinearOperator
+    from ..operators.dense import DenseLinearOperator
+    from ..operators.root import RootLinearOperator
+    from ..operators.triangular import TriangularLinearOperator
+
+    if settings.debug.on() and not op.is_square:
+        raise RuntimeError("root_decomposition requires a square operator")
+
+    structural = op._root_structure()
+    if structural is not None and method is None:
+        if isinstance(structural, TriangularLinearOperator):
+            return CholLinearOperator(structural)
+        return RootLinearOperator(structural)
+
+    if method is None:
+        method = op._choose_root_method()
+    if method == "cholesky":
+        return CholLinearOperator(op._cholesky_impl(upper=False))
+    if method in ("lanczos", "symeig", "diagonalization"):
+        if method in ("symeig", "diagonalization"):
+            evals, evecs = jnp.linalg.eigh(op.to_dense())
+            evals = jnp.maximum(evals, 0.0)
+            root = evecs * jnp.sqrt(evals)[..., None, :]
+            return RootLinearOperator(DenseLinearOperator(root))
+        root, _ = _lanczos_root(op, _fallback_key(key), need_inverse=False)
+        return RootLinearOperator(DenseLinearOperator(root))
+    raise ValueError(f"unknown root_decomposition method {method!r}")
+
+
+def root_inv_decomposition(
+    op, method: str | None = None, *, key: jax.Array | None = None
+):
+    """Operator equal to ``op^{-1}`` carrying a root (reference :2220-2307)."""
+    from ..operators._linear_operator import _fallback_key
+    from ..operators.dense import DenseLinearOperator
+    from ..operators.root import RootLinearOperator
+
+    if settings.debug.on() and not op.is_square:
+        raise RuntimeError("root_inv_decomposition requires a square operator")
+
+    structural = op._root_inv_structure()
+    if structural is not None and method is None:
+        return RootLinearOperator(structural)
+
+    if method is None:
+        method = op._choose_root_method()
+    if method == "cholesky":
+        chol = op._cholesky_impl(upper=False)  # L (triangular)
+        inv_root = chol.inverse()._transpose()  # L^{-T}
+        return RootLinearOperator(inv_root)
+    if method in ("lanczos", "symeig", "diagonalization"):
+        if method in ("symeig", "diagonalization"):
+            evals, evecs = jnp.linalg.eigh(op.to_dense())
+            inv_sqrt = jnp.where(evals > 1e-12, jax.lax.rsqrt(jnp.maximum(evals, 1e-12)), 0.0)
+            return RootLinearOperator(
+                DenseLinearOperator(evecs * inv_sqrt[..., None, :])
+            )
+        _, inv_root = _lanczos_root(op, _fallback_key(key), need_inverse=True)
+        return RootLinearOperator(DenseLinearOperator(inv_root))
+    raise ValueError(f"unknown root_inv_decomposition method {method!r}")
+
+
+def diagonalization(op, method: str | None = None, *, key: jax.Array | None = None):
+    """(evals, evecs) with K ~= Q diag(evals) Q^T (reference
+    _linear_operator.py:1438-1482, functions/_diagonalization.py:11-94)."""
+    from ..operators._linear_operator import _fallback_key
+    from ..operators.dense import DenseLinearOperator
+
+    if settings.debug.on() and not op.is_square:
+        raise RuntimeError("diagonalization requires a square operator")
+    if method is None:
+        n = op.shape[-1]
+        method = (
+            "symeig"
+            if n <= settings.max_cholesky_size.value()
+            or settings.fast_computations.covar_root_decomposition.off()
+            else "lanczos"
+        )
+    if method == "symeig":
+        evals, evecs = jnp.linalg.eigh(op.to_dense())
+        return evals, DenseLinearOperator(evecs)
+    if method == "lanczos":
+        n = op.shape[-1]
+        k = min(settings.max_root_decomposition_size.value(), n)
+        init = jax.random.normal(
+            _fallback_key(key), (*op.batch_shape, n), dtype=op.dtype
+        )
+        Q, T = lanczos_tridiag(op._matmul, k, init_vecs=init)
+        evals, evecs = jnp.linalg.eigh(T)
+        evals = jnp.maximum(evals, 0.0)
+        return evals, DenseLinearOperator(Q @ evecs)
+    raise ValueError(f"unknown diagonalization method {method!r}")

@@ -1,0 +1,11 @@
+"""Model layer: exact GP regression built on the operator algebra.
+
+The reference library is the compute core under GPyTorch (README.md:14-16);
+this module provides the flagship downstream model — exact GP regression with
+CG/SLQ marginal likelihood — so the engine has an end-to-end consumer, a
+training step for multi-chip sharding, and a benchmark target.
+"""
+
+from .gp import ExactGPRegression, GPParams
+
+__all__ = ["ExactGPRegression", "GPParams"]

@@ -1,0 +1,110 @@
+"""C C^T + D with exact O(N r^2) Woodbury solves — the README 10M x 10M path.
+
+Reference: linear_operator/operators/low_rank_root_added_diag_linear_operator.py:20-193.
+The cap matrix I + U^T D^{-1} U is Cholesky-factored once; solves and logdets
+are then closed-form:
+
+  (U U^T + D)^{-1} b = D^{-1} b - D^{-1} U (I + U^T D^{-1} U)^{-1} U^T D^{-1} b
+  log det(U U^T + D) = log det(I + U^T D^{-1} U) + log det(D)
+
+On TPU the two skinny (n x r) matmuls per application dominate and map
+straight onto the MXU; nothing n x n is ever formed.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .._pytree import operator_class
+from ._linear_operator import LinearOperator
+from .added_diag import AddedDiagLinearOperator
+from .diag import DiagLinearOperator
+
+
+def woodbury_solve_closure(U: jax.Array, diag: jax.Array):
+    """Build (closure: v -> (U U^T + D)^{-1} v, logdet(U U^T + D)).
+
+    U: (*b, n, r); diag: (*b, n).  Used both by this operator's exact solves
+    and as the AddedDiag preconditioner application (reference
+    added_diag_linear_operator.py:135-184).
+    """
+    dinv = 1.0 / diag  # (*b, n)
+    DinvU = dinv[..., :, None] * U  # (*b, n, r)
+    r = U.shape[-1]
+    cap = jnp.eye(r, dtype=U.dtype) + jnp.swapaxes(U, -1, -2) @ DinvU  # (*b, r, r)
+    cap_chol = jnp.linalg.cholesky(cap)
+
+    def closure(v: jax.Array) -> jax.Array:
+        dv = dinv[..., :, None] * v
+        t = jnp.swapaxes(DinvU, -1, -2) @ v  # (*b, r, t)
+        y = lax.linalg.triangular_solve(cap_chol, t, left_side=True, lower=True)
+        y = lax.linalg.triangular_solve(
+            cap_chol, y, left_side=True, lower=True, transpose_a=True
+        )
+        return dv - DinvU @ y
+
+    logdet = 2.0 * jnp.sum(
+        jnp.log(jnp.diagonal(cap_chol, axis1=-2, axis2=-1)), axis=-1
+    ) + jnp.sum(jnp.log(diag), axis=-1)
+    return closure, logdet
+
+
+@operator_class
+class LowRankRootAddedDiagLinearOperator(AddedDiagLinearOperator):
+    """operators = (LowRankRootLinearOperator, DiagLinearOperator)."""
+
+    def __init__(self, op=None, diag_op=None, *, operators=None):  # type: ignore[override]
+        if operators is None:
+            operators = (op, diag_op)
+        object.__setattr__(self, "operators", tuple(operators))
+        self.__post_init__()
+
+    def __post_init__(self):
+        from .root import RootLinearOperator
+
+        if len(self.operators) != 2:
+            raise ValueError("takes exactly (root_op, diag_op)")
+        if not isinstance(self.operators[0], RootLinearOperator):
+            raise TypeError("first operand must be a RootLinearOperator")
+        if not isinstance(self.operators[1], DiagLinearOperator):
+            raise TypeError("second operand must be a DiagLinearOperator")
+
+    @property
+    def _root(self) -> jax.Array:
+        return self.operators[0].root.to_dense()
+
+    # -- exact Woodbury machinery (reference :37-47, 62-87) ----------------
+
+    def _solve_structure(self, rhs: jax.Array) -> jax.Array:
+        closure, _ = woodbury_solve_closure(self._root, self._diag_op._diagonal())
+        return closure(rhs)
+
+    def _logdet_structure(self) -> jax.Array:
+        """Matrix determinant lemma (reference :95-101)."""
+        _, logdet = woodbury_solve_closure(self._root, self._diag_op._diagonal())
+        return logdet
+
+    def _inv_quad_logdet_structure(self, rhs, logdet):
+        """Exact (deterministic) inv_quad_logdet (reference :114-160)."""
+        closure, ld = woodbury_solve_closure(self._root, self._diag_op._diagonal())
+        if rhs is None:
+            iq = jnp.zeros(self.batch_shape, dtype=self.dtype)
+        else:
+            iq = jnp.sum(closure(rhs) * rhs, axis=-2)
+        if not logdet:
+            ld = jnp.zeros(self.batch_shape, dtype=self.dtype)
+        return iq, ld
+
+    def _preconditioner(self):
+        """The operator IS its own exact preconditioner — CG never runs
+        (reference :103-112 returns None since solves are exact)."""
+        return None, None, None
+
+    def __add__(self, other):
+        if isinstance(other, DiagLinearOperator):
+            return LowRankRootAddedDiagLinearOperator(
+                self.operators[0], self._diag_op + other
+            )
+        return super().__add__(other)

@@ -1,0 +1,16 @@
+"""Multi-chip scale-out: mesh construction and sharded solves.
+
+The reference's entire parallelism story (SURVEY.md section 2g) maps to:
+batch dims -> data axis, Hutchinson probes -> probe axis, matrix dim N ->
+model axis (row-sharded mat-vec).  All CG/Lanczos global scalars (inner
+products, residual norms, convergence flags) are psum-reductions inserted by
+GSPMD when the solvers run under jit with sharded operands.
+"""
+
+from .sharding import (
+    make_mesh,
+    shard_gp_batch,
+    sharded_train_step,
+)
+
+__all__ = ["make_mesh", "shard_gp_batch", "sharded_train_step"]

@@ -1,0 +1,396 @@
+"""Context-manager settings that select algorithms and tolerances.
+
+TPU-native rebuild of the reference flag system (reference:
+linear_operator/settings.py:1-615).  Three base classes mirror the reference's
+``_feature_flag`` (:58-93), ``_value_context`` (:96-118) and
+``_dtype_value_context`` (:9-55).
+
+jit-compatibility: values are read at **trace time** as ordinary Python
+scalars, so they become compile-time constants of the traced computation
+(loop bounds, size cutoffs, sample counts).  If you wrap library calls in your
+own ``jax.jit``, a later settings change will NOT retrigger a retrace of that
+cached function — snapshot the relevant values with ``solver_defaults()`` and
+pass them as static arguments instead, or re-``jit``.  The reference has the
+same trace-time semantics under ``torch.jit.trace`` (settings.py:544-559
+``trace_mode``); here jit-by-default makes it the only mode.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any
+
+import jax.numpy as jnp
+
+logger = logging.getLogger("linear_operator_tpu")
+
+
+class _feature_flag:
+    """Boolean context-manager flag (reference settings.py:58-93)."""
+
+    _default: bool = False
+    _state: bool | None = None
+
+    def __init__(self, state: bool = True):
+        self.state = state
+
+    @classmethod
+    def is_default(cls) -> bool:
+        return cls._state is None
+
+    @classmethod
+    def on(cls) -> bool:
+        return cls._default if cls._state is None else cls._state
+
+    @classmethod
+    def off(cls) -> bool:
+        return not cls.on()
+
+    @classmethod
+    def _set_state(cls, state: bool | None) -> None:
+        cls._state = state
+
+    def __enter__(self):
+        self.prev = type(self)._state
+        self._set_state(self.state)
+        return self
+
+    def __exit__(self, *exc):
+        self._set_state(self.prev)
+        return False
+
+
+class _value_context:
+    """Scalar-valued context manager (reference settings.py:96-118)."""
+
+    _global_value: Any = None
+
+    def __init__(self, value: Any):
+        self._value = value
+
+    @classmethod
+    def value(cls) -> Any:
+        return cls._global_value
+
+    @classmethod
+    def _set_value(cls, value: Any) -> None:
+        cls._global_value = value
+
+    def __enter__(self):
+        self._prev = type(self)._global_value
+        self._set_value(self._value)
+        return self
+
+    def __exit__(self, *exc):
+        self._set_value(self._prev)
+        return False
+
+
+class _dtype_value_context:
+    """Per-dtype scalar values (reference settings.py:9-55)."""
+
+    _global_float16_value: float | None = None
+    _global_bfloat16_value: float | None = None
+    _global_float32_value: float | None = None
+    _global_float64_value: float | None = None
+
+    def __init__(self, float16=None, bfloat16=None, float32=None, float64=None):
+        self._values = (float16, bfloat16, float32, float64)
+
+    @classmethod
+    def value(cls, dtype=None) -> float:
+        if dtype is None:
+            dtype = jnp.float32
+        dtype = jnp.dtype(dtype)
+        if dtype == jnp.float16:
+            return cls._global_float16_value
+        if dtype == jnp.bfloat16:
+            return cls._global_bfloat16_value
+        if dtype == jnp.float32:
+            return cls._global_float32_value
+        if dtype == jnp.float64:
+            return cls._global_float64_value
+        raise RuntimeError(f"Unsupported dtype for {cls.__name__}: {dtype}")
+
+    def __enter__(self):
+        cls = type(self)
+        self._prev = (
+            cls._global_float16_value,
+            cls._global_bfloat16_value,
+            cls._global_float32_value,
+            cls._global_float64_value,
+        )
+        new = tuple(
+            v if v is not None else p for v, p in zip(self._values, self._prev)
+        )
+        (
+            cls._global_float16_value,
+            cls._global_bfloat16_value,
+            cls._global_float32_value,
+            cls._global_float64_value,
+        ) = new
+        return self
+
+    def __exit__(self, *exc):
+        cls = type(self)
+        (
+            cls._global_float16_value,
+            cls._global_bfloat16_value,
+            cls._global_float32_value,
+            cls._global_float64_value,
+        ) = self._prev
+        return False
+
+
+# ---------------------------------------------------------------------------
+# Flag inventory — defaults match reference settings.py (line refs inline).
+# ---------------------------------------------------------------------------
+
+
+class cg_tolerance(_value_context):
+    """Relative residual to stop CG (reference settings.py:216-223)."""
+
+    _global_value = 1.0
+
+
+class cholesky_jitter(_dtype_value_context):
+    """Jitter added on Cholesky retry (reference settings.py:194-203)."""
+
+    _global_float16_value = 1e-3
+    _global_bfloat16_value = 1e-3
+    _global_float32_value = 1e-6
+    _global_float64_value = 1e-8
+
+
+class cholesky_max_tries(_value_context):
+    """Escalating-jitter attempts (reference settings.py:206-213)."""
+
+    _global_value = 3
+
+
+class ciq_samples(_feature_flag):
+    """Sample MVNs via contour integral quadrature (reference settings.py:226-242)."""
+
+    _default = False
+
+
+class debug(_feature_flag):
+    """Extra argument validation & shape checks (reference settings.py:265-275)."""
+
+    _default = True
+
+
+class deterministic_probes(_feature_flag):
+    """Reuse probe vectors across calls (reference settings.py:245-262).
+
+    In the rebuild probes are driven by explicit PRNG keys; this flag makes
+    API entry points fall back to a fixed key when the caller passes none.
+    """
+
+    _default = False
+    probe_vectors = None  # functional analog of the reference's global cache
+
+
+class _fast_covar_root_decomposition(_feature_flag):
+    _default = True
+
+
+class _fast_log_prob(_feature_flag):
+    _default = True
+
+
+class _fast_solves(_feature_flag):
+    _default = True
+
+
+class fast_computations:
+    """Composite flag (reference settings.py:278-354).
+
+    ``covar_root_decomposition``: Lanczos vs Cholesky/symeig roots.
+    ``log_prob``: SLQ/stochastic logdet vs exact Cholesky logdet.
+    ``solves``: preconditioned CG vs Cholesky solves.
+    """
+
+    covar_root_decomposition = _fast_covar_root_decomposition
+    log_prob = _fast_log_prob
+    solves = _fast_solves
+
+    def __init__(self, covar_root_decomposition=True, log_prob=True, solves=True):
+        self._ctxs = (
+            _fast_covar_root_decomposition(covar_root_decomposition),
+            _fast_log_prob(log_prob),
+            _fast_solves(solves),
+        )
+
+    def __enter__(self):
+        for ctx in self._ctxs:
+            ctx.__enter__()
+        return self
+
+    def __exit__(self, *exc):
+        for ctx in self._ctxs:
+            ctx.__exit__(*exc)
+        return False
+
+
+class _linalg_dtype_symeig(_value_context):
+    """Internal dtype for small symmetric eigensolves (reference settings.py:186-191).
+
+    On TPU float64 is emulated and slow; default keeps float32 on-device.
+    Tridiagonal matrices from CG/Lanczos are tiny, so promotion is cheap when
+    x64 is enabled (``jax.config.update("jax_enable_x64", True)``).
+    """
+
+    _global_value = jnp.float64
+
+
+class _linalg_dtype_cholesky(_value_context):
+    _global_value = jnp.float64
+
+
+class linalg_dtypes:
+    """Context manager over both internal linalg dtypes (reference settings.py:357-380)."""
+
+    symeig = _linalg_dtype_symeig
+    cholesky = _linalg_dtype_cholesky
+
+    def __init__(self, default=jnp.float64, symeig=None, cholesky=None):
+        self._ctxs = (
+            _linalg_dtype_symeig(symeig if symeig is not None else default),
+            _linalg_dtype_cholesky(cholesky if cholesky is not None else default),
+        )
+
+    def __enter__(self):
+        for ctx in self._ctxs:
+            ctx.__enter__()
+        return self
+
+    def __exit__(self, *exc):
+        for ctx in self._ctxs:
+            ctx.__exit__(*exc)
+        return False
+
+
+class max_cg_iterations(_value_context):
+    """(reference settings.py:383-391)"""
+
+    _global_value = 1000
+
+
+class max_cholesky_size(_value_context):
+    """Below this N, solve/logdet use Cholesky not CG (reference settings.py:394-402)."""
+
+    _global_value = 800
+
+
+class max_lanczos_quadrature_iterations(_value_context):
+    """Tridiag size for SLQ quadrature (reference settings.py:405-414)."""
+
+    _global_value = 20
+
+
+class max_preconditioner_size(_value_context):
+    """Pivoted-Cholesky preconditioner rank (reference settings.py:417-425)."""
+
+    _global_value = 15
+
+
+class max_root_decomposition_size(_value_context):
+    """Lanczos iterations for root decompositions (reference settings.py:428-438)."""
+
+    _global_value = 100
+
+
+class memory_efficient(_feature_flag):
+    """Prefer recomputation over caching (reference settings.py:441-450)."""
+
+    _default = False
+
+
+class min_preconditioning_size(_value_context):
+    """Only precondition above this N (reference settings.py:453-461)."""
+
+    _global_value = 2000
+
+
+class minres_tolerance(_value_context):
+    """(reference settings.py:464-471)"""
+
+    _global_value = 1e-4
+
+
+class num_contour_quadrature(_value_context):
+    """Quadrature sites for CIQ (reference settings.py:474-481)."""
+
+    _global_value = 15
+
+
+class num_trace_samples(_value_context):
+    """Hutchinson probe count for SLQ (reference settings.py:484-493)."""
+
+    _global_value = 10
+
+
+class preconditioner_tolerance(_value_context):
+    """Pivoted-Cholesky early-stop tolerance (reference settings.py:496-503)."""
+
+    _global_value = 1e-3
+
+
+class skip_logdet_forward(_feature_flag):
+    """Return 0 logdet forward but keep its gradient (reference settings.py:506-531)."""
+
+    _default = False
+
+
+class terminate_cg_by_size(_feature_flag):
+    """Run CG exactly N iterations (reference settings.py:534-541)."""
+
+    _default = False
+
+
+class trace_mode(_feature_flag):
+    """Kept for API parity (reference settings.py:544-559).
+
+    The rebuild is trace-safe by construction (all solver loops are
+    ``lax.while_loop``s), so this flag is a no-op.
+    """
+
+    _default = False
+
+
+class tridiagonal_jitter(_value_context):
+    """Jitter for tridiag eigensolves (reference settings.py:562-572)."""
+
+    _global_value = 1e-6
+
+
+class use_toeplitz(_feature_flag):
+    """FFT-based Toeplitz matmuls (reference settings.py:575-584)."""
+
+    _default = True
+
+
+class verbose_linalg(_feature_flag):
+    """Debug-log every expensive linalg call (reference settings.py:587-605)."""
+
+    _default = False
+
+    @classmethod
+    def logger(cls):
+        return logger
+
+
+class stable_qr_host_threshold(_value_context):
+    """Below this size QR may run on host (reference settings.py:608-615,
+    ``stable_qr_cpu_threshold``). On TPU we keep QR on-device; retained for
+    API parity."""
+
+    _global_value = 128
+
+
+def record_linalg(name: str, *shapes) -> None:
+    """Hook used by solvers when ``verbose_linalg`` is on (reference
+    linear_cg.py:193-196, lanczos.py:60-63, minres.py:124-128)."""
+    if verbose_linalg.on():
+        logger.debug("Running %s on shapes %s", name, tuple(tuple(s) for s in shapes))

@@ -1,0 +1,132 @@
+"""Batched Lanczos tridiagonalization with full reorthogonalization.
+
+TPU-native rebuild of reference linear_operator/utils/lanczos.py:9-223.
+The reference's Python loop with in-place Q-buffer writes becomes a
+``lax.fori_loop`` over fixed-size buffers; full reorthogonalization
+(reference :117-148, two classical Gram-Schmidt passes against all previous
+vectors) is a pair of skinny matmuls that map straight onto the MXU.
+
+Breakdown handling: when beta collapses (invariant subspace found, reference
+early-termination :150-155) the recurrence would divide by ~0; we freeze the
+iteration via masking — subsequent alpha/beta entries pad the tridiagonal
+matrix with identity (diag 1 / off 0), which downstream eigendecompositions
+treat as spurious eigenvalue-1 pairs with zero quadrature weight (same
+convention as solvers/linear_cg.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .. import settings
+
+
+class LanczosResult(NamedTuple):
+    q_mat: jax.Array  # (*b, n, k) orthonormal Lanczos basis
+    t_mat: jax.Array  # (*b, k, k) symmetric tridiagonal
+
+
+def lanczos_tridiag(
+    matmul_closure: Callable[[jax.Array], jax.Array],
+    num_iter: int,
+    *,
+    init_vecs: jax.Array,
+    tol: float = 1e-5,
+) -> LanczosResult:
+    """Run ``num_iter`` Lanczos steps of the operator given by the mat-vec
+    closure, started from ``init_vecs`` (*b, n, 1-or-more columns handled by
+    caller via batching; here a single start vector per batch element:
+    (*b, n)).
+
+    Returns Q (*b, n, k) and T (*b, k, k) with K ~= Q T Q^T.
+    """
+    settings.record_linalg("lanczos_tridiag", init_vecs.shape)
+    v = init_vecs
+    batch = v.shape[:-1]
+    n = v.shape[-1]
+    k = min(num_iter, n)
+
+    compute_dtype = jnp.promote_types(v.dtype, jnp.float32)
+    v = v.astype(compute_dtype)
+
+    def mm(x):
+        # x: (*b, n) -> (*b, n)
+        return matmul_closure(x[..., None])[..., 0].astype(compute_dtype)
+
+    v0 = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+    Q0 = jnp.zeros((*batch, n, k), dtype=compute_dtype)
+    Q0 = Q0.at[..., :, 0].set(v0)
+    alphas0 = jnp.zeros((*batch, k), dtype=compute_dtype)
+    betas0 = jnp.zeros((*batch, k), dtype=compute_dtype)
+    alive0 = jnp.ones(batch, dtype=bool)
+
+    def reorth(Q, w, upto_mask):
+        # Subtract projections onto the first columns of Q (mask selects the
+        # valid columns). Two passes of classical Gram-Schmidt
+        # (reference lanczos.py:117-148).
+        for _ in range(2):
+            coeffs = jnp.einsum("...nk,...n->...k", Q, w) * upto_mask
+            w = w - jnp.einsum("...nk,...k->...n", Q, coeffs)
+        return w
+
+    def body(i, carry):
+        Q, alphas, betas, alive = carry
+        qi = Q[..., :, i]
+        w = mm(qi)
+        alpha = jnp.sum(qi * w, axis=-1)
+        w = w - alpha[..., None] * qi
+        col_mask = (jnp.arange(k) <= i).astype(compute_dtype)
+        w = reorth(Q, w, col_mask)
+        beta = jnp.linalg.norm(w, axis=-1)
+
+        alphas = alphas.at[..., i].set(jnp.where(alive, alpha, jnp.ones_like(alpha)))
+
+        next_alive = alive & (beta > tol)
+        safe_beta = jnp.where(next_alive, beta, 1.0)
+        q_next = jnp.where(next_alive[..., None], w / safe_beta[..., None], 0.0)
+
+        def write_next(Q, betas):
+            betas = betas.at[..., i].set(jnp.where(next_alive, beta, 0.0))
+            Q = Q.at[..., :, i + 1].set(q_next)
+            return Q, betas
+
+        if_last = i >= k - 1
+        Q, betas = lax.cond(if_last, lambda Q, b: (Q, b), write_next, Q, betas)
+        return Q, alphas, betas, next_alive
+
+    Q, alphas, betas, _ = lax.fori_loop(0, k, body, (Q0, alphas0, betas0, alive0))
+
+    T = _build_tridiag(alphas, betas[..., : k - 1] if k > 1 else betas[..., :0])
+    return LanczosResult(Q, T)
+
+
+def _build_tridiag(diag: jax.Array, off: jax.Array) -> jax.Array:
+    m = diag.shape[-1]
+    T = jnp.zeros((*diag.shape, m), dtype=diag.dtype)
+    idx = jnp.arange(m)
+    T = T.at[..., idx, idx].set(diag)
+    if m > 1:
+        i = jnp.arange(m - 1)
+        T = T.at[..., i, i + 1].set(off)
+        T = T.at[..., i + 1, i].set(off)
+    return T
+
+
+def lanczos_tridiag_to_diag(t_mat: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Eigendecompose small tridiagonal matrices (reference lanczos.py:167-189).
+
+    Clamps negative eigenvalues to zero like the reference (:185-187).
+    Returns (evals (*b, k), evecs (*b, k, k)).
+    """
+    settings.record_linalg("symeig", t_mat.shape)
+    dtype = t_mat.dtype
+    evals, evecs = jnp.linalg.eigh(t_mat)
+    mask = evals >= 0
+    evals = jnp.where(mask, evals, 0.0)
+    evecs = jnp.where(mask[..., None, :], evecs, 0.0)
+    return evals.astype(dtype), evecs.astype(dtype)

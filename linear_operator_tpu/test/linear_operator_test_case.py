@@ -1,0 +1,596 @@
+"""Golden-model property-test harness for operators.
+
+Reference: linear_operator/test/linear_operator_test_case.py:23-1286.
+Subclasses define ``create_linear_op()`` (a structured operator whose leaves
+carry gradients) and ``evaluate_linear_op(op)`` (dense ground truth computed
+straight from the leaves with plain jnp) and inherit every test below: each
+public operation is checked against the dense computation — forward values
+AND gradients of all representation leaves — within a per-operation tolerance
+table (reference :516-535).
+
+Algorithm-routing assertions (reference :555-567 uses MagicMock around
+linear_cg) are done with ``unittest.mock.patch`` around
+``linear_operator_tpu.solvers.linear_cg.linear_cg`` plus settings context
+managers that force each dispatch path.
+"""
+
+from __future__ import annotations
+
+from unittest import mock
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import settings
+from ..operators import DenseLinearOperator, LinearOperator
+from .base_test_case import BaseTestCase
+
+
+class RectangularLinearOperatorTestCase(BaseTestCase):
+    # knobs (reference :511-515)
+    should_test_getitem_tensor_index = True
+
+    def setUp(self):
+        super().setUp()
+        # The harness classes themselves are abstract; skip when collected
+        # directly (they are imported into downstream test modules).
+        cls = type(self)
+        if (
+            cls.create_linear_op is RectangularLinearOperatorTestCase.create_linear_op
+        ):
+            self.skipTest("abstract operator test harness")
+
+    tolerances = {
+        "matmul": {"rtol": 1e-5, "atol": 1e-6},
+        "grad": {"rtol": 1e-4, "atol": 1e-6},
+        "solve": {"rtol": 1e-4, "atol": 1e-5},
+        "solve_grad": {"rtol": 5e-3, "atol": 1e-4},
+        "inv_quad": {"rtol": 1e-3, "atol": 1e-4},
+        "logdet": {"rtol": 2e-1, "atol": 1e-1},
+        "logdet_grad": {"rtol": 1e-1, "atol": 2.5e-1},
+        "root_decomposition": {"rtol": 5e-2, "atol": 1e-3},
+        "root_inv_decomposition": {"rtol": 5e-2, "atol": 1e-2},
+        "diagonalization": {"rtol": 5e-2, "atol": 1e-3},
+        "sample": {"rtol": 3e-1, "atol": 3e-1},
+        "cholesky": {"rtol": 1e-4, "atol": 1e-5},
+        "getitem": {"rtol": 1e-5, "atol": 1e-6},
+    }
+
+    def create_linear_op(self) -> LinearOperator:
+        raise NotImplementedError
+
+    def evaluate_linear_op(self, op: LinearOperator) -> jax.Array:
+        raise NotImplementedError
+
+    # -- helpers ----------------------------------------------------------
+
+    def _grad_check(
+        self, op, fn_lazy, fn_dense, name="grad", tol_key="grad",
+        scale_invariant=False,
+    ):
+        """Compare d fn_lazy(op) / d leaves against d fn_dense(dense(op)).
+
+        ``scale_invariant`` normalizes each leaf gradient by its max magnitude
+        before comparing — used for stochastic (SLQ) gradients whose Monte
+        Carlo error scales with the gradient magnitude.
+        """
+        leaves, treedef = jax.tree_util.tree_flatten(op)
+
+        def f(leaves_):
+            return fn_lazy(jax.tree_util.tree_unflatten(treedef, leaves_))
+
+        def g(leaves_):
+            o = jax.tree_util.tree_unflatten(treedef, leaves_)
+            return fn_dense(self.evaluate_linear_op(o))
+
+        grads_actual = jax.grad(f)(leaves)
+        grads_expected = jax.grad(g)(leaves)
+        tol = self.tolerances[tol_key]
+        for i, (ga, ge) in enumerate(zip(grads_actual, grads_expected)):
+            if scale_invariant:
+                scale = jnp.maximum(jnp.max(jnp.abs(ge)), 1e-12)
+                ga, ge = ga / scale, ge / scale
+            self.assertAllClose(ga, ge, msg=f"{name}: leaf {i}", **tol)
+
+    def _rand_rhs(self, op, ncols=None, batch=()):
+        shape = (*batch, op.shape[-1]) if ncols is None else (*batch, op.shape[-1], ncols)
+        return jax.random.normal(self.key, shape, dtype=op.dtype)
+
+    # -- shape / dtype / dense -------------------------------------------
+
+    def test_to_dense(self):
+        op = self.create_linear_op()
+        self.assertAllClose(
+            op.to_dense(), self.evaluate_linear_op(op), **self.tolerances["matmul"]
+        )
+
+    def test_shape(self):
+        op = self.create_linear_op()
+        self.assertEqual(tuple(op.shape), tuple(self.evaluate_linear_op(op).shape))
+        self.assertEqual(op.ndim, len(op.shape))
+        self.assertEqual(op.matrix_shape, op.shape[-2:])
+        self.assertEqual(op.batch_shape, op.shape[:-2])
+
+    def test_representation_roundtrip(self):
+        op = self.create_linear_op()
+        leaves, treedef = jax.tree_util.tree_flatten(op)
+        op2 = jax.tree_util.tree_unflatten(treedef, leaves)
+        self.assertAllClose(op2.to_dense(), op.to_dense(), rtol=0, atol=0)
+
+    # -- matmul -----------------------------------------------------------
+
+    def test_matmul_vec(self):
+        op = self.create_linear_op()
+        if op.batch_shape:
+            return  # vector matmul on batched ops covered by matrix case
+        dense = self.evaluate_linear_op(op)
+        v = jax.random.normal(self.key, (op.shape[-1],), dtype=op.dtype)
+        self.assertAllClose(op @ v, dense @ v, **self.tolerances["matmul"])
+
+    def test_matmul_mat(self):
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        rhs = self._rand_rhs(op, ncols=4)
+        self.assertAllClose(op @ rhs, dense @ rhs, **self.tolerances["matmul"])
+        self._grad_check(
+            op,
+            lambda o: jnp.sum(jnp.sin(o @ rhs)),
+            lambda d: jnp.sum(jnp.sin(d @ rhs)),
+            name="matmul",
+        )
+
+    def test_matmul_mat_broadcast(self):
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        rhs = jax.random.normal(
+            self.key, (3, *op.batch_shape, op.shape[-1], 2), dtype=op.dtype
+        )
+        self.assertAllClose(op @ rhs, dense @ rhs, **self.tolerances["matmul"])
+
+    def test_rmatmul(self):
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        lhs = jax.random.normal(
+            self.key, (*op.batch_shape, 4, op.shape[-2]), dtype=op.dtype
+        )
+        self.assertAllClose(op.rmatmul(lhs), lhs @ dense, **self.tolerances["matmul"])
+
+    def test_t_matmul(self):
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        rhs = jax.random.normal(
+            self.key, (*op.batch_shape, op.shape[-2], 3), dtype=op.dtype
+        )
+        self.assertAllClose(
+            op._t_matmul(rhs),
+            jnp.swapaxes(dense, -1, -2) @ rhs,
+            **self.tolerances["matmul"],
+        )
+
+    def test_transpose(self):
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        self.assertAllClose(
+            op.mT.to_dense(), jnp.swapaxes(dense, -1, -2), **self.tolerances["matmul"]
+        )
+
+    # -- arithmetic -------------------------------------------------------
+
+    def test_add_dense(self):
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        other = jax.random.normal(self.key, op.shape, dtype=op.dtype)
+        self.assertAllClose(
+            (op + other).to_dense(), dense + other, **self.tolerances["matmul"]
+        )
+
+    def test_add_self(self):
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        self.assertAllClose(
+            (op + op).to_dense(), dense * 2, **self.tolerances["matmul"]
+        )
+
+    def test_scalar_mul_div(self):
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        self.assertAllClose((op * 3.0).to_dense(), dense * 3.0, **self.tolerances["matmul"])
+        self.assertAllClose((op / 2.0).to_dense(), dense / 2.0, **self.tolerances["matmul"])
+        self.assertAllClose((-op).to_dense(), -dense, **self.tolerances["matmul"])
+
+    def test_sub(self):
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        other = jax.random.normal(self.key, op.shape, dtype=op.dtype)
+        self.assertAllClose(
+            (op - other).to_dense(), dense - other, **self.tolerances["matmul"]
+        )
+
+    # -- indexing ---------------------------------------------------------
+
+    def test_getitem_slices(self):
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        n_rows, n_cols = op.matrix_shape
+        sl = (Ellipsis, slice(0, max(n_rows // 2, 1)), slice(None))
+        res = op[sl]
+        res = res.to_dense() if isinstance(res, LinearOperator) else res
+        self.assertAllClose(res, dense[sl], **self.tolerances["getitem"])
+        sl2 = (Ellipsis, slice(None), slice(1, n_cols))
+        res2 = op[sl2]
+        res2 = res2.to_dense() if isinstance(res2, LinearOperator) else res2
+        self.assertAllClose(res2, dense[sl2], **self.tolerances["getitem"])
+
+    def test_getitem_int_row(self):
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        res = op[..., 1, :]
+        res = res.to_dense() if isinstance(res, LinearOperator) else res
+        self.assertAllClose(res, dense[..., 1, :], **self.tolerances["getitem"])
+
+    def test_getitem_int_both(self):
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        res = op[..., 1, 2]
+        res = res.to_dense() if isinstance(res, LinearOperator) else res
+        self.assertAllClose(res, dense[..., 1, 2], **self.tolerances["getitem"])
+
+    def test_getitem_tensor_index(self):
+        if not self.should_test_getitem_tensor_index:
+            return
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        i = jnp.array([0, 1, 1])
+        j = jnp.array([1, 0, 2])
+        res = op[..., i, j]
+        res = res.to_dense() if isinstance(res, LinearOperator) else res
+        self.assertAllClose(res, dense[..., i, j], **self.tolerances["getitem"])
+
+    def test_getitem_batch(self):
+        op = self.create_linear_op()
+        if not op.batch_shape:
+            return
+        dense = self.evaluate_linear_op(op)
+        res = op[0]
+        res = res.to_dense() if isinstance(res, LinearOperator) else res
+        self.assertAllClose(res, dense[0], **self.tolerances["getitem"])
+
+    # -- batch-dim manipulation ------------------------------------------
+
+    def test_unsqueeze(self):
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        self.assertAllClose(
+            op.unsqueeze(0).to_dense(), dense[None], **self.tolerances["matmul"]
+        )
+
+    def test_expand(self):
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        import warnings as _warnings
+
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("ignore")
+            expanded = op.expand(3, *op.shape)
+        self.assertAllClose(
+            expanded.to_dense(),
+            jnp.broadcast_to(dense, (3, *dense.shape)),
+            **self.tolerances["matmul"],
+        )
+
+    def test_repeat(self):
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        repeated = op.repeat(2, *([1] * op.ndim))
+        self.assertAllClose(
+            repeated.to_dense(),
+            jnp.tile(dense, (2, *([1] * op.ndim))),
+            **self.tolerances["matmul"],
+        )
+
+    def test_sum_batch_dim(self):
+        op = self.create_linear_op()
+        if not op.batch_shape:
+            return
+        dense = self.evaluate_linear_op(op)
+        summed = op.sum(0)
+        res = summed.to_dense() if isinstance(summed, LinearOperator) else summed
+        self.assertAllClose(res, jnp.sum(dense, axis=0), **self.tolerances["matmul"])
+
+    def test_detach_astype(self):
+        op = self.create_linear_op()
+        detached = op.detach()
+        self.assertAllClose(detached.to_dense(), op.to_dense(), rtol=0, atol=0)
+        f32 = op.astype(jnp.float32)
+        self.assertEqual(f32.dtype, jnp.float32)
+
+
+class LinearOperatorTestCase(RectangularLinearOperatorTestCase):
+    """Additional tests for square PSD operators (reference :510-1286)."""
+
+    should_test_sample = True
+    should_call_cg = True
+    should_call_lanczos = True
+    skip_slq_tests = False
+
+    # -- structure --------------------------------------------------------
+
+    def test_diagonal(self):
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        self.assertAllClose(
+            op.diagonal(),
+            jnp.diagonal(dense, axis1=-2, axis2=-1),
+            **self.tolerances["matmul"],
+        )
+
+    def test_add_diagonal(self):
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        d = jnp.abs(jax.random.normal(self.key, (op.shape[-1],), dtype=op.dtype)) + 1.0
+        self.assertAllClose(
+            op.add_diagonal(d).to_dense(),
+            dense + jnp.diag(d),
+            **self.tolerances["matmul"],
+        )
+        self.assertAllClose(
+            op.add_jitter(0.5).to_dense(),
+            dense + 0.5 * jnp.eye(op.shape[-1], dtype=op.dtype),
+            **self.tolerances["matmul"],
+        )
+
+    def test_add_low_rank(self):
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        v = jax.random.normal(self.key, (*op.batch_shape, op.shape[-1], 2), dtype=op.dtype)
+        self.assertAllClose(
+            op.add_low_rank(v).to_dense(),
+            dense + v @ jnp.swapaxes(v, -1, -2),
+            **self.tolerances["matmul"],
+        )
+
+    # -- factorization ----------------------------------------------------
+
+    def test_cholesky(self):
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        L = op.cholesky()
+        self.assertAllClose(
+            L.to_dense() @ jnp.swapaxes(L.to_dense(), -1, -2),
+            dense,
+            **self.tolerances["cholesky"],
+        )
+
+    def test_root_decomposition_exact(self):
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        with settings.fast_computations(covar_root_decomposition=False):
+            root_op = op.root_decomposition()
+        root = root_op.root.to_dense()
+        self.assertAllClose(
+            root @ jnp.swapaxes(root, -1, -2), dense, **self.tolerances["cholesky"]
+        )
+
+    def test_root_decomposition_lanczos(self):
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        with settings.max_cholesky_size(0):
+            root_op = op.root_decomposition(key=self.key)
+        root = root_op.root.to_dense()
+        self.assertAllClose(
+            root @ jnp.swapaxes(root, -1, -2),
+            dense,
+            **self.tolerances["root_decomposition"],
+        )
+
+    def test_root_inv_decomposition(self):
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        inv_root_op = op.root_inv_decomposition(key=self.key)
+        inv_root = inv_root_op.root.to_dense()
+        self.assertAllClose(
+            inv_root @ jnp.swapaxes(inv_root, -1, -2),
+            jnp.linalg.inv(dense),
+            **self.tolerances["root_inv_decomposition"],
+        )
+
+    def test_diagonalization(self):
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        evals, evecs = op.diagonalization()
+        evecs = evecs.to_dense() if isinstance(evecs, LinearOperator) else evecs
+        recon = jnp.einsum(
+            "...ij,...j,...kj->...ik", evecs, evals, evecs
+        )
+        self.assertAllClose(recon, dense, **self.tolerances["diagonalization"])
+
+    def test_eigvalsh(self):
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        self.assertAllClose(
+            op.eigvalsh(), jnp.linalg.eigvalsh(dense), **self.tolerances["matmul"]
+        )
+
+    def test_svd(self):
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        U, S, V = op.svd()
+        recon = U.to_dense() * S[..., None, :] @ jnp.swapaxes(V.to_dense(), -1, -2)
+        self.assertAllClose(recon, dense, **self.tolerances["cholesky"])
+
+    def test_pivoted_cholesky(self):
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        n = op.shape[-1]
+        L = op.pivoted_cholesky(rank=n, error_tol=0.0)
+        self.assertAllClose(
+            L @ jnp.swapaxes(L, -1, -2), dense, rtol=1e-3, atol=1e-3
+        )
+
+    # -- solves -----------------------------------------------------------
+
+    def test_solve_vec_cholesky(self):
+        op = self.create_linear_op()
+        if op.batch_shape:
+            return
+        dense = self.evaluate_linear_op(op)
+        b = jax.random.normal(self.key, (op.shape[-1],), dtype=op.dtype)
+        with settings.fast_computations(solves=False):
+            x = op.solve(b)
+        self.assertAllClose(x, jnp.linalg.solve(dense, b), **self.tolerances["solve"])
+
+    def test_solve_mat_cholesky(self):
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        b = self._rand_rhs(op, ncols=3, batch=op.batch_shape)
+        with settings.fast_computations(solves=False):
+            x = op.solve(b)
+        self.assertAllClose(x, jnp.linalg.solve(dense, b), **self.tolerances["solve"])
+        self._grad_check(
+            op,
+            lambda o: jnp.sum(jnp.sin(o.solve(b))),
+            lambda d: jnp.sum(jnp.sin(jnp.linalg.solve(d, b))),
+            name="solve_chol",
+            tol_key="solve_grad",
+        )
+
+    def test_solve_mat_cg(self):
+        if not self.should_call_cg:
+            return
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        b = self._rand_rhs(op, ncols=3, batch=op.batch_shape)
+        from ..solvers import linear_cg as cg_fn
+
+        with settings.max_cholesky_size(0), settings.cg_tolerance(1e-8), \
+             settings.max_cg_iterations(2000):
+            with mock.patch(
+                "linear_operator_tpu.solvers.linear_cg.linear_cg", wraps=cg_fn
+            ) as cg_mock:
+                x = op.solve(b)
+                structural = op._solve_structure(b)
+                if structural is None:
+                    self.assertTrue(cg_mock.called, "expected CG to be invoked")
+        self.assertAllClose(x, jnp.linalg.solve(dense, b), **self.tolerances["solve"])
+        with settings.max_cholesky_size(0), settings.cg_tolerance(1e-10), \
+             settings.max_cg_iterations(2000):
+            self._grad_check(
+                op,
+                lambda o: jnp.sum(jnp.sin(o.solve(b))),
+                lambda d: jnp.sum(jnp.sin(jnp.linalg.solve(d, b))),
+                name="solve_cg",
+                tol_key="solve_grad",
+            )
+
+    def test_solve_with_lhs(self):
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        b = self._rand_rhs(op, ncols=3, batch=op.batch_shape)
+        lhs = jax.random.normal(
+            self.key, (*op.batch_shape, 2, op.shape[-1]), dtype=op.dtype
+        )
+        with settings.fast_computations(solves=False):
+            x = op.solve(b, lhs)
+        self.assertAllClose(
+            x, lhs @ jnp.linalg.solve(dense, b), **self.tolerances["solve"]
+        )
+
+    # -- inv_quad_logdet --------------------------------------------------
+
+    def test_inv_quad_logdet_cholesky(self):
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        b = self._rand_rhs(op, ncols=3, batch=op.batch_shape)
+        with settings.fast_computations(log_prob=False, solves=False):
+            iq, ld = op.inv_quad_logdet(b, logdet=True)
+        iq_true = jnp.sum(jnp.linalg.solve(dense, b) * b, axis=(-2, -1))
+        ld_true = jnp.linalg.slogdet(dense)[1]
+        self.assertAllClose(iq, iq_true, **self.tolerances["inv_quad"])
+        self.assertAllClose(ld, ld_true, rtol=1e-3, atol=1e-3)
+        with settings.fast_computations(log_prob=False, solves=False):
+            self._grad_check(
+                op,
+                lambda o: jnp.sum(o.inv_quad_logdet(b, logdet=True)[0])
+                + jnp.sum(o.inv_quad_logdet(b, logdet=True)[1]),
+                lambda d: jnp.sum(jnp.sum(jnp.linalg.solve(d, b) * b, axis=(-2, -1)))
+                + jnp.sum(jnp.linalg.slogdet(d)[1]),
+                name="iqld_chol",
+                tol_key="solve_grad",
+            )
+
+    def test_inv_quad_logdet_stochastic(self):
+        if self.skip_slq_tests:
+            return
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        b = self._rand_rhs(op, ncols=3, batch=op.batch_shape)
+        with settings.max_cholesky_size(0), settings.cg_tolerance(1e-8), \
+             settings.max_cg_iterations(2000), settings.num_trace_samples(128), \
+             settings.max_lanczos_quadrature_iterations(64):
+            iq, ld = op.inv_quad_logdet(b, logdet=True, key=self.key)
+        iq_true = jnp.sum(jnp.linalg.solve(dense, b) * b, axis=(-2, -1))
+        ld_true = jnp.linalg.slogdet(dense)[1]
+        self.assertAllClose(iq, iq_true, **self.tolerances["inv_quad"])
+        self.assertAllClose(ld, ld_true, **self.tolerances["logdet"])
+
+    def test_inv_quad_logdet_stochastic_grad(self):
+        if self.skip_slq_tests:
+            return
+        op = self.create_linear_op()
+        b = self._rand_rhs(op, ncols=3, batch=op.batch_shape)
+        key = self.key
+        # SLQ gradients are Hutchinson estimates: abs error ~ ||grad|| / sqrt(m),
+        # so the check needs a large probe count (reference inflates samples
+        # the same way, linear_operator_test_case.py:557-562).
+        with settings.max_cholesky_size(0), settings.cg_tolerance(1e-10), \
+             settings.max_cg_iterations(2000), settings.num_trace_samples(4096), \
+             settings.max_lanczos_quadrature_iterations(64):
+            self._grad_check(
+                op,
+                lambda o: jnp.sum(
+                    o.inv_quad_logdet(b, logdet=True, key=key)[0]
+                    + o.inv_quad_logdet(b, logdet=True, key=key)[1]
+                ),
+                lambda d: jnp.sum(
+                    jnp.sum(jnp.linalg.solve(d, b) * b, axis=(-2, -1))
+                    + jnp.linalg.slogdet(d)[1]
+                ),
+                name="iqld_slq",
+                tol_key="logdet_grad",
+                scale_invariant=True,
+            )
+
+    def test_logdet(self):
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        with settings.fast_computations(log_prob=False):
+            ld = op.logdet()
+        self.assertAllClose(ld, jnp.linalg.slogdet(dense)[1], rtol=1e-3, atol=1e-3)
+
+    def test_inv_quad_no_reduce(self):
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        b = self._rand_rhs(op, ncols=3, batch=op.batch_shape)
+        with settings.fast_computations(log_prob=False, solves=False):
+            iq = op.inv_quad(b, reduce_inv_quad=False)
+        iq_true = jnp.sum(jnp.linalg.solve(dense, b) * b, axis=-2)
+        self.assertAllClose(iq, iq_true, **self.tolerances["inv_quad"])
+
+    # -- sampling ---------------------------------------------------------
+
+    def test_zero_mean_mvn_samples(self):
+        if not self.should_test_sample:
+            return
+        op = self.create_linear_op()
+        if op.batch_shape:
+            return
+        dense = self.evaluate_linear_op(op)
+        samples = op.zero_mean_mvn_samples(20000, key=self.key)
+        emp_cov = jnp.einsum("si,sj->ij", samples, samples) / samples.shape[0]
+        # Monte-Carlo error scales with the covariance magnitude: compare on
+        # a normalized scale (reference uses O(1) operators + rtol 0.3).
+        scale = jnp.maximum(jnp.max(jnp.abs(dense)), 1e-12)
+        self.assertAllClose(
+            emp_cov / scale, dense / scale, **self.tolerances["sample"]
+        )

@@ -1,0 +1,116 @@
+"""Unit tests for Lanczos, SLQ and pivoted Cholesky kernels (reference:
+test/utils/test_lanczos.py, test_pivoted_cholesky.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from linear_operator_tpu.operators import DenseLinearOperator
+from linear_operator_tpu.solvers.lanczos import lanczos_tridiag, lanczos_tridiag_to_diag
+from linear_operator_tpu.solvers.pivoted_cholesky import pivoted_cholesky
+from linear_operator_tpu.solvers.stochastic_lq import slq_quadrature
+from linear_operator_tpu.test.base_test_case import BaseTestCase
+
+
+def _psd(key, *batch, n=32, cond=100.0):
+    a = jax.random.normal(key, (*batch, n, n), dtype=jnp.float64)
+    q, _ = jnp.linalg.qr(a)
+    evals = jnp.logspace(0, np.log10(cond), n, dtype=jnp.float64)
+    return (q * evals) @ jnp.swapaxes(q, -1, -2)
+
+
+class TestLanczos(BaseTestCase):
+    def test_full_rank_recovers_matrix(self):
+        K = _psd(self.key, n=24)
+        v = jax.random.normal(self.key, (24,), dtype=jnp.float64)
+        Q, T = jax.jit(
+            lambda K, v: lanczos_tridiag(lambda x: K @ x, 24, init_vecs=v)
+        )(K, v)
+        self.assertAllClose(Q @ T @ Q.T, K, rtol=1e-6, atol=1e-6)
+        self.assertAllClose(Q.T @ Q, jnp.eye(24), rtol=1e-6, atol=1e-6)
+
+    def test_batched(self):
+        K = _psd(self.key, 3, n=16)
+        v = jax.random.normal(self.key, (3, 16), dtype=jnp.float64)
+        Q, T = jax.jit(
+            lambda K, v: lanczos_tridiag(lambda x: K @ x, 16, init_vecs=v)
+        )(K, v)
+        self.assertAllClose(Q @ T @ jnp.swapaxes(Q, -1, -2), K, rtol=1e-6, atol=1e-6)
+
+    def test_eigh_clamps(self):
+        T = jnp.asarray([[1.0, 0.0], [0.0, -2.0]])
+        evals, evecs = lanczos_tridiag_to_diag(T)
+        self.assertTrue((evals >= 0).all())
+
+    def test_breakdown(self):
+        """Low-rank + identity: Lanczos finds the invariant subspace early
+        and must not blow up after breakdown."""
+        u = jax.random.normal(self.key, (20, 2), dtype=jnp.float64)
+        K = u @ u.T + jnp.eye(20)
+        v = jax.random.normal(self.key, (20,), dtype=jnp.float64)
+        Q, T = jax.jit(
+            lambda K, v: lanczos_tridiag(lambda x: K @ x, 20, init_vecs=v)
+        )(K, v)
+        self.assertFalse(bool(jnp.any(jnp.isnan(T))))
+        self.assertFalse(bool(jnp.any(jnp.isnan(Q))))
+
+
+class TestSLQ(BaseTestCase):
+    def test_logdet_estimate(self):
+        n = 100
+        K = _psd(self.key, n=n, cond=50.0)
+        m = 64
+        probes = jax.random.normal(self.key, (n, m), dtype=jnp.float64)
+        probes = probes / jnp.linalg.norm(probes, axis=0, keepdims=True)
+
+        def run(K, probes):
+            from linear_operator_tpu.solvers.linear_cg import linear_cg
+
+            res = linear_cg(
+                lambda v: K @ v,
+                probes,
+                tolerance=1e-10,
+                max_iter=150,
+                n_tridiag=m,
+                max_tridiag_iter=48,
+            )
+            evals, evecs = lanczos_tridiag_to_diag(res.t_mats)
+            (ld,) = slq_quadrature(n, evals, evecs, [jnp.log])
+            return ld
+
+        ld = jax.jit(run)(K, probes)
+        ld_true = jnp.linalg.slogdet(K)[1]
+        self.assertAllClose(ld, ld_true, rtol=0.05, atol=1.0)
+
+
+class TestPivotedCholesky(BaseTestCase):
+    def test_full_rank_exact(self):
+        K = _psd(self.key, n=20, cond=25.0)
+        op = DenseLinearOperator(K)
+        L = jax.jit(lambda: pivoted_cholesky(op, 20, error_tol=0.0))()
+        self.assertAllClose(L @ L.T, K, rtol=1e-6, atol=1e-6)
+
+    def test_low_rank_approx(self):
+        u = jax.random.normal(self.key, (50, 4), dtype=jnp.float64)
+        K = u @ u.T + 1e-3 * jnp.eye(50)
+        op = DenseLinearOperator(K)
+        L = jax.jit(lambda: pivoted_cholesky(op, 6, error_tol=0.0))()
+        self.assertEqual(L.shape, (50, 6))
+        self.assertAllClose(L @ L.T, K, rtol=1e-2, atol=1e-2)
+
+    def test_batched(self):
+        K = _psd(self.key, 3, n=12, cond=10.0)
+        op = DenseLinearOperator(K)
+        L = jax.jit(lambda: pivoted_cholesky(op, 12, error_tol=0.0))()
+        self.assertAllClose(L @ jnp.swapaxes(L, -1, -2), K, rtol=1e-6, atol=1e-6)
+
+    def test_grad_flows(self):
+        K = _psd(self.key, n=10, cond=10.0)
+
+        def f(K):
+            L = pivoted_cholesky(DenseLinearOperator(K), 10, error_tol=0.0)
+            return jnp.sum(L**2)  # = trace(K) when factorization is exact
+
+        g = jax.grad(f)(K)
+        # d trace(K)/dK = I
+        self.assertAllClose(g, jnp.eye(10), rtol=1e-4, atol=1e-4)

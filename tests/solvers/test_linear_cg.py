@@ -1,0 +1,95 @@
+"""Unit tests for the CG kernel (reference: test/utils/test_linear_cg.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from linear_operator_tpu.solvers.linear_cg import linear_cg
+from linear_operator_tpu.test.base_test_case import BaseTestCase
+
+
+class TestLinearCG(BaseTestCase):
+    def _make(self, key, *batch, n=64, cond=100.0):
+        a = jax.random.normal(key, (*batch, n, n), dtype=jnp.float64)
+        q, _ = jnp.linalg.qr(a)
+        evals = jnp.logspace(0, np.log10(cond), n, dtype=jnp.float64)
+        return (q * evals) @ jnp.swapaxes(q, -1, -2)
+
+    def test_cg_solve(self):
+        K = self._make(self.key)
+        b = jax.random.normal(self.key, (64, 4), dtype=jnp.float64)
+        res = jax.jit(
+            lambda K, b: linear_cg(lambda v: K @ v, b, tolerance=1e-10, max_iter=200)
+        )(K, b)
+        self.assertAllClose(res.solution, jnp.linalg.solve(K, b), rtol=1e-6, atol=1e-6)
+
+    def test_cg_batch(self):
+        K = self._make(self.key, 3, n=32)
+        b = jax.random.normal(self.key, (3, 32, 2), dtype=jnp.float64)
+        res = jax.jit(
+            lambda K, b: linear_cg(lambda v: K @ v, b, tolerance=1e-10, max_iter=200)
+        )(K, b)
+        self.assertAllClose(res.solution, jnp.linalg.solve(K, b), rtol=1e-6, atol=1e-6)
+
+    def test_cg_vec(self):
+        K = self._make(self.key, n=32)
+        b = jax.random.normal(self.key, (32,), dtype=jnp.float64)
+        res = jax.jit(
+            lambda K, b: linear_cg(lambda v: K @ v, b, tolerance=1e-10, max_iter=200)
+        )(K, b)
+        self.assertEqual(res.solution.shape, (32,))
+        self.assertAllClose(res.solution, jnp.linalg.solve(K, b), rtol=1e-6, atol=1e-6)
+
+    def test_cg_with_preconditioner(self):
+        K = self._make(self.key, n=64, cond=1e4)
+        d = jnp.diagonal(K)
+        b = jax.random.normal(self.key, (64, 2), dtype=jnp.float64)
+        res_pc = jax.jit(
+            lambda K, b: linear_cg(
+                lambda v: K @ v,
+                b,
+                tolerance=1e-10,
+                max_iter=500,
+                preconditioner=lambda v: v / d[:, None],
+            )
+        )(K, b)
+        self.assertAllClose(res_pc.solution, jnp.linalg.solve(K, b), rtol=1e-5, atol=1e-5)
+
+    def test_tridiag_ritz_values(self):
+        """The extracted tridiagonal's Ritz values approximate K's spectrum
+        (reference test_linear_cg.py lanczos consistency checks)."""
+        K = self._make(self.key, n=48, cond=50.0)
+        b = jax.random.normal(self.key, (48, 3), dtype=jnp.float64)
+        res = jax.jit(
+            lambda K, b: linear_cg(
+                lambda v: K @ v,
+                b,
+                tolerance=1e-10,
+                max_iter=200,
+                n_tridiag=3,
+                max_tridiag_iter=48,
+            )
+        )(K, b)
+        self.assertEqual(res.t_mats.shape, (3, 48, 48))
+        ritz = jnp.linalg.eigvalsh(res.t_mats)
+        evals = jnp.linalg.eigvalsh(K)
+        # extreme Ritz values converge to extreme eigenvalues
+        self.assertAllClose(ritz[:, -1], jnp.full((3,), evals[-1]), rtol=1e-3, atol=1e-3)
+
+    def test_zero_rhs_column(self):
+        K = self._make(self.key, n=16)
+        b = jnp.zeros((16, 2), dtype=jnp.float64)
+        res = jax.jit(
+            lambda K, b: linear_cg(lambda v: K @ v, b, tolerance=1e-10, max_iter=50)
+        )(K, b)
+        self.assertAllClose(res.solution, jnp.zeros((16, 2)), rtol=0, atol=0)
+
+    def test_bf16_matvec_f32_recurrence(self):
+        K = self._make(self.key, n=32, cond=10.0).astype(jnp.bfloat16)
+        b = jax.random.normal(self.key, (32, 2), dtype=jnp.bfloat16)
+        res = jax.jit(
+            lambda K, b: linear_cg(lambda v: K @ v, b, tolerance=1e-3, max_iter=100)
+        )(K, b)
+        self.assertEqual(res.solution.dtype, jnp.bfloat16)
+        x64 = jnp.linalg.solve(K.astype(jnp.float64), b.astype(jnp.float64))
+        self.assertAllClose(res.solution.astype(jnp.float64), x64, rtol=0.15, atol=0.15)

@@ -1,0 +1,87 @@
+"""GP model + sharded training step tests (the multichip dry-run path)."""
+
+import jax
+import jax.numpy as jnp
+
+from linear_operator_tpu import settings
+from linear_operator_tpu.models import ExactGPRegression
+from linear_operator_tpu.parallel import make_mesh, shard_gp_batch, sharded_train_step
+from linear_operator_tpu.test.base_test_case import BaseTestCase
+
+
+class TestExactGP(BaseTestCase):
+    def test_mll_finite_and_differentiable(self):
+        model = ExactGPRegression()
+        n, d = 64, 2
+        x = jax.random.normal(self.key, (n, d), dtype=jnp.float64)
+        y = jnp.sin(3 * x[:, 0])
+        params = model.init_params(d, dtype=jnp.float64)
+        loss, grads = jax.value_and_grad(lambda p: model.neg_mll(p, x, y))(params)
+        self.assertTrue(bool(jnp.isfinite(loss)))
+        for g in grads:
+            self.assertTrue(bool(jnp.isfinite(g)))
+
+    def test_training_reduces_loss(self):
+        import optax
+
+        model = ExactGPRegression()
+        n, d = 48, 1
+        x = jax.random.normal(self.key, (n, d), dtype=jnp.float64)
+        y = jnp.sin(3 * x[:, 0]) + 0.05 * jax.random.normal(self.key, (n,), dtype=jnp.float64)
+        params = model.init_params(d, dtype=jnp.float64)
+        opt = optax.adam(0.1)
+        state = opt.init(params)
+
+        @jax.jit
+        def step(params, state):
+            loss, grads = jax.value_and_grad(lambda p: model.neg_mll(p, x, y))(params)
+            updates, state = opt.update(grads, state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+            return params, state, loss
+
+        losses = []
+        for _ in range(25):
+            params, state, loss = step(params, state)
+            losses.append(float(loss))
+        self.assertLess(losses[-1], losses[0])
+
+    def test_posterior_interpolates(self):
+        model = ExactGPRegression()
+        n = 40
+        x = jnp.linspace(-2, 2, n, dtype=jnp.float64)[:, None]
+        y = jnp.sin(2 * x[:, 0])
+        params = model.init_params(1, dtype=jnp.float64)
+        mean, var = model.posterior(params, x, y, x)
+        # posterior at training points with small noise ~ y
+        self.assertAllClose(mean, y, rtol=0.2, atol=0.2)
+        self.assertTrue(bool(jnp.all(var >= 0)))
+
+
+class TestShardedTraining(BaseTestCase):
+    def test_sharded_step_on_virtual_mesh(self):
+        import optax
+
+        n_dev = len(jax.devices())
+        self.assertGreaterEqual(n_dev, 8, "conftest must fake 8 CPU devices")
+        mesh = make_mesh(8, model=2)
+        model = ExactGPRegression(block_rows=64)
+        B, n, d = 8, 32, 2
+        x = jax.random.normal(self.key, (B, n, d), dtype=jnp.float32)
+        y = jnp.sin(3 * x[..., 0])
+        params = model.init_params(d)
+        opt = optax.adam(1e-2)
+        state = opt.init(params)
+        xs, ys = shard_gp_batch(mesh, x, y)
+        step = sharded_train_step(model, opt, mesh)
+        with mesh:
+            with settings.max_cholesky_size(0), settings.num_trace_samples(4), \
+                 settings.max_cg_iterations(25), settings.min_preconditioning_size(10**9):
+                params2, state2, loss = step(params, state, xs, ys, jax.random.PRNGKey(0))
+        self.assertTrue(bool(jnp.isfinite(loss)))
+        # parameters actually moved
+        self.assertNotEqual(float(params2.raw_noise), float(params.raw_noise))
+
+    def test_dryrun_multichip_entrypoint(self):
+        import __graft_entry__ as ge
+
+        ge.dryrun_multichip(8)
