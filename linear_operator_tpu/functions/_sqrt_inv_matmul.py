@@ -1,20 +1,106 @@
-"""K^{±1/2} @ rhs via contour integral quadrature — implemented with the
-shifted-MINRES solver in stage 5 of the build plan (SURVEY.md section 7).
+"""K^{±1/2} @ rhs via contour integral quadrature.
 
-Reference: linear_operator/functions/_sqrt_inv_matmul.py:10-126,
-linear_operator/utils/contour_integral_quad.py:14-156.
+Reference: linear_operator/functions/_sqrt_inv_matmul.py:10-126 and
+utils/contour_integral_quad.py:14-156.
+
+Forward: K^{-1/2} rhs = sum_j w_j (K + s_j I)^{-1} rhs (shifted MINRES
+solves, shared Lanczos).  Backward (reference :52-126 reuses the saved
+shifts/weights): from d(K+s)^{-1} = -(K+s)^{-1} dK (K+s)^{-1},
+
+    rhs_bar = K^{-1/2} g              (same quadrature on the cotangent)
+    K_bar   = -sum_j w_j sym((K+s_j)^{-1} g) ((K+s_j)^{-1} rhs)^T
+
+pushed through ONE ``_bilinear_derivative`` over the stacked shifted solves.
 """
 
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
 
-def sqrt_inv_matmul(op, rhs, lhs=None):
-    from ..solvers.contour_integral_quad import ciq_sqrt_inv_matmul
+from .. import settings
+from ..solvers.contour_integral_quad import ciq_shifts_weights, contour_integral_quad
+from ..solvers.minres import minres
+from ._solve import _unbroadcast
 
-    return ciq_sqrt_inv_matmul(op, rhs, lhs)
+
+def _ciq_apply(op, rhs, key):
+    solves, weights = contour_integral_quad(
+        op._matmul,
+        rhs,
+        key=key,
+        max_lanczos_iter=settings.max_lanczos_quadrature_iterations.value(),
+    )
+    w = weights.reshape(-1, *([1] * (solves.ndim - 1)))
+    return jnp.sum(w * solves, axis=0), solves, weights
 
 
-def sqrt_matmul(op, rhs):
-    from ..solvers.contour_integral_quad import ciq_sqrt_matmul
+def sqrt_inv_matmul(op, rhs, lhs=None, *, key=None):
+    """lhs @ K^{-1/2} rhs (reference _linear_operator.py:2422-2466)."""
+    rhs = jnp.asarray(rhs)
+    squeeze = rhs.ndim == 1
+    if squeeze:
+        rhs = rhs[:, None]
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    out = _sqrt_inv_core(op, rhs, key)
+    if squeeze:
+        out = out[..., 0]
+    if lhs is not None:
+        return jnp.asarray(lhs) @ out
+    return out
 
-    return ciq_sqrt_matmul(op, rhs)
+
+def sqrt_matmul(op, rhs, *, key=None):
+    """K^{1/2} rhs = K @ (K^{-1/2} rhs) (reference zero_mean_mvn_samples CIQ
+    path, _linear_operator.py:2769-2776)."""
+    rhs = jnp.asarray(rhs)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    half_inv = _sqrt_inv_core(op, rhs, key)
+    return op._matmul(half_inv)
+
+
+def _sqrt_inv_core(op, rhs, key):
+    @jax.custom_vjp
+    def inner(op, rhs):
+        out, _, _ = _ciq_apply(op, rhs, key)
+        return out
+
+    def fwd(op, rhs):
+        out, solves, weights = _ciq_apply(op, rhs, key)
+        return out, (op, solves, weights, rhs.shape)
+
+    def bwd(res, g):
+        op, rhs_solves, weights, rhs_shape = res
+        # shifted solves of the cotangent reuse the same quadrature (the
+        # shifts derive from stop_gradient'd eigenvalue estimates, so
+        # recomputing them inside the bwd trace yields identical values)
+        g_out, g_solves, _ = _ciq_apply(op, g, key)
+        rhs_bar = _unbroadcast(g_out, rhs_shape)
+        w = weights.reshape(-1, *([1] * (rhs_solves.ndim - 1)))
+        q = rhs_solves.shape[0]
+        # stack the q shifted solve pairs into one bilinear derivative
+        left = jnp.concatenate(
+            [
+                jnp.moveaxis(-w * g_solves * 0.5, 0, -1).reshape(
+                    *g_solves.shape[1:-1], -1
+                ),
+                jnp.moveaxis(-w * rhs_solves * 0.5, 0, -1).reshape(
+                    *rhs_solves.shape[1:-1], -1
+                ),
+            ],
+            axis=-1,
+        )
+        right = jnp.concatenate(
+            [
+                jnp.moveaxis(rhs_solves, 0, -1).reshape(*rhs_solves.shape[1:-1], -1),
+                jnp.moveaxis(g_solves, 0, -1).reshape(*g_solves.shape[1:-1], -1),
+            ],
+            axis=-1,
+        )
+        op_bar = op._bilinear_derivative(left, right)
+        return op_bar, rhs_bar
+
+    inner.defvjp(fwd, bwd)
+    return inner(op, rhs)

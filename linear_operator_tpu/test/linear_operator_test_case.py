@@ -84,10 +84,12 @@ class RectangularLinearOperatorTestCase(BaseTestCase):
             o = jax.tree_util.tree_unflatten(treedef, leaves_)
             return fn_dense(self.evaluate_linear_op(o))
 
-        grads_actual = jax.grad(f)(leaves)
-        grads_expected = jax.grad(g)(leaves)
+        grads_actual = jax.grad(f, allow_int=True)(leaves)
+        grads_expected = jax.grad(g, allow_int=True)(leaves)
         tol = self.tolerances[tol_key]
         for i, (ga, ge) in enumerate(zip(grads_actual, grads_expected)):
+            if not jnp.issubdtype(jnp.asarray(leaves[i]).dtype, jnp.inexact):
+                continue  # integer leaves (indices, permutations) have no grads
             if scale_invariant:
                 scale = jnp.maximum(jnp.max(jnp.abs(ge)), 1e-12)
                 ga, ge = ga / scale, ge / scale

@@ -1,0 +1,188 @@
+"""Golden tests for the Kronecker family (reference:
+test/operators/test_kronecker_product_linear_operator.py and
+test_kronecker_product_added_diag_linear_operator.py,
+test_sum_kronecker_linear_operator.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from linear_operator_tpu.operators import (
+    ConstantDiagLinearOperator,
+    DenseLinearOperator,
+    DiagLinearOperator,
+    KroneckerProductAddedDiagLinearOperator,
+    KroneckerProductDiagLinearOperator,
+    KroneckerProductLinearOperator,
+    SumKroneckerLinearOperator,
+)
+from linear_operator_tpu.test import LinearOperatorTestCase
+from linear_operator_tpu.test.base_test_case import BaseTestCase
+
+
+def _psd(key, *batch, n=4):
+    a = jax.random.normal(key, (*batch, n, n), dtype=jnp.float64)
+    return a @ jnp.swapaxes(a, -1, -2) + n * jnp.eye(n, dtype=jnp.float64)
+
+
+def _kron(a, b):
+    return jnp.kron(a, b) if a.ndim == 2 else jax.vmap(jnp.kron)(a, b)
+
+
+class TestKroneckerProduct(LinearOperatorTestCase):
+    seed = 0
+    should_test_sample = False
+
+    def create_linear_op(self):
+        return KroneckerProductLinearOperator(
+            (
+                DenseLinearOperator(_psd(jax.random.PRNGKey(90), n=3)),
+                DenseLinearOperator(_psd(jax.random.PRNGKey(91), n=4)),
+            )
+        )
+
+    def evaluate_linear_op(self, op):
+        return _kron(op.operators[0].tensor, op.operators[1].tensor)
+
+
+class TestKroneckerProductBatch(LinearOperatorTestCase):
+    seed = 1
+    should_test_sample = False
+
+    def create_linear_op(self):
+        return KroneckerProductLinearOperator(
+            (
+                DenseLinearOperator(_psd(jax.random.PRNGKey(92), 2, n=3)),
+                DenseLinearOperator(_psd(jax.random.PRNGKey(93), 2, n=2)),
+            )
+        )
+
+    def evaluate_linear_op(self, op):
+        return _kron(op.operators[0].tensor, op.operators[1].tensor)
+
+
+class TestKroneckerThreeFactor(BaseTestCase):
+    def test_matmul_and_solve(self):
+        ops = [
+            DenseLinearOperator(_psd(jax.random.PRNGKey(94 + i), n=n))
+            for i, n in enumerate((2, 3, 2))
+        ]
+        kp = KroneckerProductLinearOperator(tuple(ops))
+        dense = jnp.kron(jnp.kron(ops[0].tensor, ops[1].tensor), ops[2].tensor)
+        rhs = jax.random.normal(self.key, (12, 3), dtype=jnp.float64)
+        self.assertAllClose(kp @ rhs, dense @ rhs, rtol=1e-9, atol=1e-9)
+        self.assertAllClose(
+            kp.solve(rhs), jnp.linalg.solve(dense, rhs), rtol=1e-7, atol=1e-7
+        )
+        self.assertAllClose(
+            kp.logdet(), jnp.linalg.slogdet(dense)[1], rtol=1e-8, atol=1e-8
+        )
+        self.assertAllClose(kp.diagonal(), jnp.diagonal(dense), rtol=1e-9, atol=1e-9)
+
+
+class TestKroneckerDiag(BaseTestCase):
+    def test_closed_forms(self):
+        d1 = jnp.abs(jax.random.normal(self.key, (3,), dtype=jnp.float64)) + 1
+        d2 = jnp.abs(jax.random.normal(self.key, (4,), dtype=jnp.float64)) + 1
+        kp = KroneckerProductDiagLinearOperator(
+            (DiagLinearOperator(d1), DiagLinearOperator(d2))
+        )
+        dense_diag = jnp.kron(d1, d2)
+        self.assertAllClose(kp.diagonal(), dense_diag, rtol=1e-12, atol=1e-12)
+        rhs = jax.random.normal(self.key, (12, 2), dtype=jnp.float64)
+        self.assertAllClose(kp.solve(rhs), rhs / dense_diag[:, None], rtol=1e-12, atol=1e-12)
+        self.assertAllClose(
+            kp._logdet_structure(), jnp.sum(jnp.log(dense_diag)), rtol=1e-12, atol=1e-12
+        )
+        inv = kp.inverse()
+        self.assertAllClose(inv.diagonal(), 1 / dense_diag, rtol=1e-12, atol=1e-12)
+
+
+class TestKroneckerAddedDiag(BaseTestCase):
+    def test_constant_diag_exact(self):
+        a = _psd(jax.random.PRNGKey(95), n=3)
+        b = _psd(jax.random.PRNGKey(96), n=4)
+        kp = KroneckerProductLinearOperator(
+            (DenseLinearOperator(a), DenseLinearOperator(b))
+        )
+        op = kp + ConstantDiagLinearOperator(
+            jnp.asarray([0.7], dtype=jnp.float64), diag_shape=12
+        )
+        self.assertIsInstance(op, KroneckerProductAddedDiagLinearOperator)
+        dense = jnp.kron(a, b) + 0.7 * jnp.eye(12, dtype=jnp.float64)
+        rhs = jax.random.normal(self.key, (12, 2), dtype=jnp.float64)
+        self.assertAllClose(
+            op._solve_structure(rhs), jnp.linalg.solve(dense, rhs), rtol=1e-8, atol=1e-8
+        )
+        self.assertAllClose(
+            op._logdet_structure(), jnp.linalg.slogdet(dense)[1], rtol=1e-9, atol=1e-9
+        )
+        iq, ld = op.inv_quad_logdet(rhs, logdet=True)
+        self.assertAllClose(
+            iq, jnp.sum(jnp.linalg.solve(dense, rhs) * rhs), rtol=1e-8, atol=1e-8
+        )
+        root = op._root_structure().to_dense()
+        self.assertAllClose(root @ root.T, dense, rtol=1e-8, atol=1e-8)
+
+    def test_hyperparameter_grads(self):
+        a0 = _psd(jax.random.PRNGKey(97), n=3)
+        b0 = _psd(jax.random.PRNGKey(98), n=3)
+        rhs = jax.random.normal(self.key, (9, 1), dtype=jnp.float64)
+
+        def f_lazy(s):
+            kp = KroneckerProductLinearOperator(
+                (DenseLinearOperator(a0 * s), DenseLinearOperator(b0))
+            )
+            op = kp + ConstantDiagLinearOperator(
+                jnp.asarray([0.5], dtype=jnp.float64), diag_shape=9
+            )
+            iq, ld = op.inv_quad_logdet(rhs, logdet=True)
+            return iq + ld
+
+        def f_dense(s):
+            K = jnp.kron(a0 * s, b0) + 0.5 * jnp.eye(9, dtype=jnp.float64)
+            return jnp.sum(jnp.linalg.solve(K, rhs) * rhs) + jnp.linalg.slogdet(K)[1]
+
+        ga = jax.grad(f_lazy)(1.3)
+        ge = jax.grad(f_dense)(1.3)
+        self.assertAllClose(ga, ge, rtol=1e-6, atol=1e-8)
+
+
+class TestSumKronecker(BaseTestCase):
+    def test_solve_logdet_root(self):
+        a = _psd(jax.random.PRNGKey(100), n=3)
+        b = _psd(jax.random.PRNGKey(101), n=4)
+        c = _psd(jax.random.PRNGKey(102), n=3)
+        d = _psd(jax.random.PRNGKey(103), n=4)
+        op = SumKroneckerLinearOperator(
+            (
+                KroneckerProductLinearOperator(
+                    (DenseLinearOperator(a), DenseLinearOperator(b))
+                ),
+                KroneckerProductLinearOperator(
+                    (DenseLinearOperator(c), DenseLinearOperator(d))
+                ),
+            )
+        )
+        dense = jnp.kron(a, b) + jnp.kron(c, d)
+        rhs = jax.random.normal(self.key, (12, 2), dtype=jnp.float64)
+        self.assertAllClose(op @ rhs, dense @ rhs, rtol=1e-9, atol=1e-9)
+        self.assertAllClose(
+            op._solve_structure(rhs), jnp.linalg.solve(dense, rhs), rtol=1e-7, atol=1e-7
+        )
+        self.assertAllClose(
+            op._logdet_structure(), jnp.linalg.slogdet(dense)[1], rtol=1e-8, atol=1e-8
+        )
+        root = op._root_structure().to_dense()
+        self.assertAllClose(root @ root.T, dense, rtol=1e-7, atol=1e-7)
+
+    def test_kp_plus_kp_dispatch(self):
+        a = _psd(jax.random.PRNGKey(104), n=2)
+        b = _psd(jax.random.PRNGKey(105), n=3)
+        kp1 = KroneckerProductLinearOperator(
+            (DenseLinearOperator(a), DenseLinearOperator(b))
+        )
+        kp2 = KroneckerProductLinearOperator(
+            (DenseLinearOperator(a * 0.5), DenseLinearOperator(b * 2.0))
+        )
+        self.assertIsInstance(kp1 + kp2, SumKroneckerLinearOperator)
