@@ -110,6 +110,10 @@ def inv_quad_logdet(
     iq, ld_est = _stochastic_iqld(op, rhs, probes, precond_probes, norms)
     if logdet:
         ld = ld_est + logdet_p
+        if settings.skip_logdet_forward.on():
+            # zero forward value, gradient preserved (reference
+            # settings.py:506-531)
+            ld = ld - jax.lax.stop_gradient(ld)
     else:
         ld = jnp.zeros(op.batch_shape, dtype=op.dtype)
     return _finish(op, iq, ld, rhs, reduce_inv_quad)

@@ -396,20 +396,98 @@ class LinearOperator:
         """(reference ``add_jitter``, :1010-1017)"""
         return self.add_diagonal(jnp.asarray(jitter_val, dtype=self.dtype))
 
-    def add_low_rank(self, low_rank_mat: jax.Array) -> "LinearOperator":
-        """K + V V^T as a SumLinearOperator.
+    def add_low_rank(
+        self, low_rank_mat: jax.Array, generate_roots: bool = False
+    ) -> "LinearOperator":
+        """K + V V^T (reference ``add_low_rank``, :1019-1142, Stanton et al.
+        2021).
 
-        The reference (``add_low_rank``, :1019-1142, Stanton et al. 2021) also
-        seeds root-decomposition caches of the result; in the functional
-        rebuild the caller keeps factored operators explicitly.
+        With ``generate_roots`` (the reference's cache-seeding behavior,
+        :1139-1140) and a structurally-rooted K = R R^T, the result is
+        returned AS a RootLinearOperator with root [R | V] — the root
+        "update" is exact column concatenation, so downstream
+        root/solve/logdet reuse it for free.  Otherwise a lazy sum.
         """
         from .root import RootLinearOperator
         from .dense import DenseLinearOperator
         from .sum import SumLinearOperator
 
+        v = jnp.asarray(low_rank_mat, dtype=self.dtype)
+        if v.ndim == 1:
+            v = v[:, None]
+        if generate_roots:
+            root = self._root_structure()
+            if root is None:
+                root = self.root_decomposition().root
+            joined = jnp.concatenate([root.to_dense(), v], axis=-1)
+            return RootLinearOperator(DenseLinearOperator(joined))
         return SumLinearOperator(
-            (self, RootLinearOperator(DenseLinearOperator(jnp.asarray(low_rank_mat))))
+            (self, RootLinearOperator(DenseLinearOperator(v)))
         )
+
+    def cat_rows(
+        self,
+        cross_mat: jax.Array,
+        new_mat: jax.Array,
+        generate_roots: bool = True,
+    ) -> "LinearOperator":
+        """Append rows/columns to a PSD operator (reference ``cat_rows``,
+        :1152-1308, Pleiss et al. 2018 "fantasy updates"):
+
+            K' = [[K,   B],
+                  [B^T, C]]   with B = cross_mat (n, m), C = new_mat (m, m).
+
+        With ``generate_roots`` the result carries an (approximately) exact
+        block-triangular root
+
+            L' = [[R,         0],
+                  [B^T R^{-T}, S]],   S S^T = C - B^T K^{-1} B  (Schur),
+
+        (the reference's cache seeding, :1300-1306) so posterior updates
+        after adding points cost O(n m) instead of a fresh factorization.
+        Without it, a lazy Cat-of-Cat block operator is returned.
+        """
+        from .cat import CatLinearOperator
+        from .dense import DenseLinearOperator
+        from .root import RootLinearOperator
+        from ..utils.cholesky import psd_safe_cholesky
+
+        B = jnp.asarray(cross_mat, dtype=self.dtype)
+        C = jnp.asarray(new_mat, dtype=self.dtype)
+        if not generate_roots:
+            top = CatLinearOperator(
+                (self, DenseLinearOperator(B)), cat_dim=-1
+            )
+            bottom = CatLinearOperator(
+                (
+                    DenseLinearOperator(jnp.swapaxes(B, -1, -2)),
+                    DenseLinearOperator(C),
+                ),
+                cat_dim=-1,
+            )
+            return CatLinearOperator((top, bottom), cat_dim=-2)
+
+        root_op = self._root_structure()
+        if root_op is None:
+            root_op = self.root_decomposition().root
+        R = root_op.to_dense()  # (*b, n, k)
+        n, k = R.shape[-2], R.shape[-1]
+        m = C.shape[-1]
+        # lower-left block: B^T R^{-T}; with rectangular R use pinv via solve
+        from ..functions import solve
+
+        KinvB = solve(self, B)  # (*b, n, m)
+        lower_left = jnp.swapaxes(KinvB, -1, -2) @ R  # B^T K^{-1} R = B^T R^{-T}
+        schur = C - jnp.swapaxes(B, -1, -2) @ KinvB
+        S = psd_safe_cholesky(
+            (schur + jnp.swapaxes(schur, -1, -2)) / 2.0
+        )
+        top = jnp.concatenate(
+            [R, jnp.zeros((*R.shape[:-1], m), dtype=R.dtype)], axis=-1
+        )
+        bottom = jnp.concatenate([lower_left, S], axis=-1)
+        joined_root = jnp.concatenate([top, bottom], axis=-2)
+        return RootLinearOperator(DenseLinearOperator(joined_root))
 
     def diagonal(self) -> jax.Array:
         """(reference ``diagonal``, :1410-1436)"""

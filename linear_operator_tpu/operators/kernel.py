@@ -131,7 +131,11 @@ def rbf_covar(x1: jax.Array, x2: jax.Array, lengthscale, outputscale) -> jax.Arr
     x2s = x2 / lengthscale
     sq1 = jnp.sum(x1s * x1s, axis=-1)[..., :, None]
     sq2 = jnp.sum(x2s * x2s, axis=-1)[..., None, :]
-    inner = jnp.matmul(x1s, jnp.swapaxes(x2s, -1, -2))
+    # HIGHEST precision: the TPU default (bf16 passes) perturbs distances by
+    # ~1e-3, which downstream solves amplify near the noise floor
+    inner = jnp.matmul(
+        x1s, jnp.swapaxes(x2s, -1, -2), precision=jax.lax.Precision.HIGHEST
+    )
     d2 = jnp.maximum(sq1 + sq2 - 2.0 * inner, 0.0)
     return outputscale * jnp.exp(-0.5 * d2)
 
@@ -141,7 +145,9 @@ def matern52_covar(x1, x2, lengthscale, outputscale):
     x2s = x2 / lengthscale
     sq1 = jnp.sum(x1s * x1s, axis=-1)[..., :, None]
     sq2 = jnp.sum(x2s * x2s, axis=-1)[..., None, :]
-    inner = jnp.matmul(x1s, jnp.swapaxes(x2s, -1, -2))
+    inner = jnp.matmul(
+        x1s, jnp.swapaxes(x2s, -1, -2), precision=jax.lax.Precision.HIGHEST
+    )
     d2 = jnp.maximum(sq1 + sq2 - 2.0 * inner, 0.0)
     d = jnp.sqrt(d2 + 1e-30)
     s5d = jnp.sqrt(5.0) * d

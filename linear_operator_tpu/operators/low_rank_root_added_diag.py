@@ -108,3 +108,21 @@ class LowRankRootAddedDiagLinearOperator(AddedDiagLinearOperator):
                 self.operators[0], self._diag_op + other
             )
         return super().__add__(other)
+
+    def zero_mean_mvn_samples(self, num_samples, *, key=None):
+        """Exact O(n r) sampling: U eps1 + sqrt(D) eps2 (the reference draws
+        preconditioner probes the same way, added_diag:95-110 + psd_sum
+        sampling).  Critically this is full-rank — a truncated Lanczos root
+        here would bias the SLQ probes."""
+        from ._linear_operator import _fallback_key
+
+        key = _fallback_key(key)
+        k1, k2 = jax.random.split(key)
+        U = self._root  # (*b, n, r)
+        d = self._diag_op._diagonal()  # (*b, n)
+        n, r = U.shape[-2], U.shape[-1]
+        batch = self.batch_shape
+        eps1 = jax.random.normal(k1, (num_samples, *batch, r), dtype=self.dtype)
+        eps2 = jax.random.normal(k2, (num_samples, *batch, n), dtype=self.dtype)
+        low_rank = jnp.einsum("...nr,s...r->s...n", U, eps1)
+        return low_rank + jnp.sqrt(d) * eps2

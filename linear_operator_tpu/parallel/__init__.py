@@ -7,10 +7,17 @@ products, residual norms, convergence flags) are psum-reductions inserted by
 GSPMD when the solvers run under jit with sharded operands.
 """
 
+from .scaling import mll_throughput, scaling_report
 from .sharding import (
     make_mesh,
     shard_gp_batch,
     sharded_train_step,
 )
 
-__all__ = ["make_mesh", "shard_gp_batch", "sharded_train_step"]
+__all__ = [
+    "make_mesh",
+    "mll_throughput",
+    "scaling_report",
+    "shard_gp_batch",
+    "sharded_train_step",
+]

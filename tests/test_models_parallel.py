@@ -85,3 +85,16 @@ class TestShardedTraining(BaseTestCase):
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestScalingHarness(BaseTestCase):
+    def test_scaling_report_runs(self):
+        from linear_operator_tpu.parallel import scaling_report
+
+        report = scaling_report(
+            device_counts=[1, 2], n=64, num_probes=2, block_rows=64, reps=1
+        )
+        self.assertEqual(set(report), {1, 2})
+        for c, row in report.items():
+            self.assertGreater(row["solves_per_s"], 0)
+            self.assertGreater(row["efficiency"], 0)
