@@ -7,5 +7,13 @@ training step for multi-chip sharding, and a benchmark target.
 """
 
 from .gp import ExactGPRegression, GPParams
+from .ski import GridSpec, SKIGPRegression, SKIParams, make_grid
 
-__all__ = ["ExactGPRegression", "GPParams"]
+__all__ = [
+    "ExactGPRegression",
+    "GPParams",
+    "GridSpec",
+    "SKIGPRegression",
+    "SKIParams",
+    "make_grid",
+]

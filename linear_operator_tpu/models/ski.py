@@ -1,0 +1,137 @@
+"""SKI / KISS-GP: structured kernel interpolation onto a regular grid.
+
+The downstream pattern the reference's InterpolatedLinearOperator exists for
+(interpolated_linear_operator.py:20, SKI/KISS-GP; Wilson & Nickisch 2015):
+
+    K_SKI = W K_grid W^T,   K_grid = (x)_d Toeplitz_d  (product kernels)
+
+W holds 2^D linear-interpolation weights per point (gather/scatter-add),
+K_grid mat-vecs are Kronecker sweeps of FFT Toeplitz multiplies — an
+O(n 2^D + M log M) mat-vec, so CG/SLQ scale to millions of points.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..operators import (
+    InterpolatedLinearOperator,
+    KroneckerProductLinearOperator,
+    ToeplitzLinearOperator,
+)
+from ..functions import inv_quad_logdet, solve
+
+
+class GridSpec(NamedTuple):
+    mins: jax.Array  # (D,)
+    maxs: jax.Array  # (D,)
+    sizes: tuple  # (D,) static ints
+
+
+def make_grid(x: jax.Array, sizes: Sequence[int], pad: float = 0.1) -> GridSpec:
+    mins = jnp.min(x, axis=0)
+    maxs = jnp.max(x, axis=0)
+    span = jnp.maximum(maxs - mins, 1e-6)
+    return GridSpec(mins - pad * span, maxs + pad * span, tuple(int(s) for s in sizes))
+
+
+def linear_interp_weights(x: jax.Array, grid: GridSpec):
+    """Per-point 2^D linear interpolation (indices, values) onto the flat grid.
+
+    x: (n, D) -> indices/values (n, 2^D); flat index uses row-major mixed
+    radix over the per-dim grids.
+    """
+    n, D = x.shape
+    idx_list, w_list = [], []
+    for d in range(D):
+        m = grid.sizes[d]
+        h = (grid.maxs[d] - grid.mins[d]) / (m - 1)
+        pos = jnp.clip((x[:, d] - grid.mins[d]) / h, 0.0, m - 1 - 1e-6)
+        i0 = jnp.floor(pos).astype(jnp.int32)
+        frac = pos - i0
+        idx_list.append(jnp.stack([i0, i0 + 1], axis=-1))  # (n, 2)
+        w_list.append(jnp.stack([1.0 - frac, frac], axis=-1))  # (n, 2)
+
+    # outer product over dims -> (n, 2^D)
+    flat_idx = idx_list[0]
+    flat_w = w_list[0]
+    for d in range(1, D):
+        m = grid.sizes[d]
+        flat_idx = flat_idx[..., :, None] * m + idx_list[d][..., None, :]
+        flat_idx = flat_idx.reshape(n, -1)
+        flat_w = (flat_w[..., :, None] * w_list[d][..., None, :]).reshape(n, -1)
+    return flat_idx, flat_w
+
+
+def rbf_toeplitz_column(m: int, h, lengthscale, dtype=jnp.float32) -> jax.Array:
+    """First column of the 1D RBF kernel on a regular grid with spacing h."""
+    dist = jnp.arange(m, dtype=dtype) * h
+    return jnp.exp(-0.5 * (dist / lengthscale) ** 2)
+
+
+class SKIParams(NamedTuple):
+    raw_lengthscale: jax.Array  # (D,)
+    raw_outputscale: jax.Array
+    raw_noise: jax.Array
+
+
+def _softplus(x):
+    return jax.nn.softplus(x) + 1e-6
+
+
+class SKIGPRegression:
+    """KISS-GP regression with an RBF product kernel on a regular grid."""
+
+    def __init__(self, grid: GridSpec):
+        self.grid = grid
+
+    def init_params(self, d: int, dtype=jnp.float32) -> SKIParams:
+        return SKIParams(
+            raw_lengthscale=jnp.zeros((d,), dtype=dtype),
+            raw_outputscale=jnp.zeros((), dtype=dtype),
+            raw_noise=jnp.asarray(-2.0, dtype=dtype),
+        )
+
+    def grid_operator(self, params: SKIParams):
+        ls = _softplus(params.raw_lengthscale)
+        os_ = _softplus(params.raw_outputscale)
+        factors = []
+        D = len(self.grid.sizes)
+        for d in range(D):
+            m = self.grid.sizes[d]
+            h = (self.grid.maxs[d] - self.grid.mins[d]) / (m - 1)
+            col = rbf_toeplitz_column(m, h, ls[d], dtype=params.raw_outputscale.dtype)
+            # fold the outputscale into the first factor
+            if d == 0:
+                col = col * os_
+            factors.append(ToeplitzLinearOperator(col))
+        if D == 1:
+            return factors[0]
+        return KroneckerProductLinearOperator(tuple(factors))
+
+    def covariance(self, params: SKIParams, x1, x2=None):
+        k_grid = self.grid_operator(params)
+        li, lv = linear_interp_weights(x1, self.grid)
+        if x2 is None:
+            ri, rv = li, lv
+        else:
+            ri, rv = linear_interp_weights(x2, self.grid)
+        return InterpolatedLinearOperator(k_grid, li, lv.astype(k_grid.dtype), ri, rv.astype(k_grid.dtype))
+
+    def train_operator(self, params: SKIParams, x):
+        return self.covariance(params, x).add_diagonal(_softplus(params.raw_noise))
+
+    def neg_mll(self, params: SKIParams, x, y, *, key=None) -> jax.Array:
+        n = y.shape[-1]
+        K = self.train_operator(params, x)
+        iq, ld = inv_quad_logdet(K, y[..., None], logdet=True, key=key)
+        return 0.5 * jnp.mean(iq + ld + n * jnp.log(2.0 * jnp.pi)) / n
+
+    def posterior_mean(self, params: SKIParams, x, y, x_star):
+        K = self.train_operator(params, x)
+        alpha = solve(K, y[..., None])
+        k_star = self.covariance(params, x_star, x)
+        return (k_star @ alpha)[..., 0]

@@ -169,6 +169,20 @@ class LinearOperator:
             return leaf
         return tree_map_leaves(cast, self)
 
+    def float(self) -> "LinearOperator":
+        """(reference ``float``, :1336-1346)"""
+        return self.astype(jnp.float32)
+
+    def double(self) -> "LinearOperator":
+        return self.astype(jnp.float64)
+
+    def half(self) -> "LinearOperator":
+        return self.astype(jnp.float16)
+
+    def bfloat16(self) -> "LinearOperator":
+        """TPU-native half precision (no reference analog)."""
+        return self.astype(jnp.bfloat16)
+
     # ------------------------------------------------------------------
     # Default derived primitives
     # ------------------------------------------------------------------
@@ -210,7 +224,9 @@ class LinearOperator:
             op = jax.tree_util.tree_unflatten(treedef, leaves_)
             return jnp.sum(left_vecs * op._matmul(right_vecs))
 
-        grads = jax.grad(f)(list(leaves))
+        # allow_int: integer leaves (interpolation indices, permutations) get
+        # float0 cotangents, which custom_vjp accepts for int primals
+        grads = jax.grad(f, allow_int=True)(list(leaves))
         return jax.tree_util.tree_unflatten(treedef, grads)
 
     # ------------------------------------------------------------------
@@ -257,7 +273,20 @@ class LinearOperator:
     def _preconditioner(self):
         """(closure, preconditioner_operator, logdet_of_preconditioner) or
         (None, None, None) — reference ``_preconditioner`` / AddedDiag
-        override (added_diag_linear_operator.py:95-184)."""
+        override (added_diag_linear_operator.py:95-184).  With
+        ``beta_features.default_preconditioner`` on, falls back to a
+        randomized rangefinder preconditioner (reference
+        _linear_operator.py:817-846)."""
+        from .. import beta_features
+
+        if (
+            beta_features.default_preconditioner.on()
+            and self.is_square
+            and self.shape[-1] >= settings.min_preconditioning_size.value()
+        ):
+            return beta_features.build_default_preconditioner(
+                self.detach(), rank=settings.max_preconditioner_size.value()
+            )
         return None, None, None
 
     def _solve_via_cg(

@@ -38,6 +38,10 @@ class KernelLinearOperator(LinearOperator):
     covar_func: Callable = static_field()
     block_rows: int = static_field(default=4096)
     symmetric: bool = static_field(default=False)
+    matvec_impl: Callable | None = static_field(default=None)
+    # matvec_impl(x1, x2, rhs, params) -> K @ rhs: a fused (Pallas) kernel
+    # mat-vec that never materializes kernel blocks; used when set, with the
+    # blocked covar_func path as the generic fallback.
 
     @property
     def _symmetric_hint(self) -> bool:
@@ -55,12 +59,15 @@ class KernelLinearOperator(LinearOperator):
             covar_func=self.covar_func,
             block_rows=self.block_rows,
             symmetric=self.symmetric,
+            matvec_impl=self.matvec_impl,
         )
 
     def _kernel_block(self, x1_block: jax.Array) -> jax.Array:
         return self.covar_func(x1_block, self.x2, **self.params)
 
     def _matmul(self, rhs: jax.Array) -> jax.Array:
+        if self.matvec_impl is not None:
+            return self.matvec_impl(self.x1, self.x2, rhs, self.params)
         n = self.x1.shape[-2]
         if n <= self.block_rows:
             return self._kernel_block(self.x1) @ rhs
@@ -154,6 +161,28 @@ def matern52_covar(x1, x2, lengthscale, outputscale):
     return outputscale * (1.0 + s5d + 5.0 / 3.0 * d2) * jnp.exp(-s5d)
 
 
+def rbf_pallas_matvec(x1, x2, rhs, params, *, tile: int = 1024):
+    """Fused Pallas RBF mat-vec (ops/rbf.py): prescaling keeps hyperparameter
+    gradients in jnp-land while the tiles never materialize K."""
+    from ..ops.rbf import rbf_matvec
+
+    ls = params["lengthscale"]
+    os_ = params["outputscale"]
+    x1s = (x1 / ls).astype(jnp.float32)
+    x2s = (x2 / ls).astype(jnp.float32)
+    if x1.ndim == 2:
+        out = rbf_matvec(x1s, x2s, rhs.astype(jnp.float32), tile)
+    else:
+        flat1 = x1s.reshape(-1, *x1s.shape[-2:])
+        flat2 = jnp.broadcast_to(x2s, x1s.shape).reshape(-1, *x2s.shape[-2:])
+        rb = jnp.broadcast_to(
+            rhs, (*x1s.shape[:-2], *rhs.shape[-2:])
+        ).reshape(-1, *rhs.shape[-2:]).astype(jnp.float32)
+        out = jax.vmap(lambda a, b, v: rbf_matvec(a, b, v, tile))(flat1, flat2, rb)
+        out = out.reshape(*x1s.shape[:-2], *out.shape[-2:])
+    return (os_ * out).astype(rhs.dtype)
+
+
 def rbf_kernel_operator(
     x1: jax.Array,
     x2: jax.Array | None = None,
@@ -161,8 +190,12 @@ def rbf_kernel_operator(
     lengthscale,
     outputscale,
     block_rows: int = 4096,
+    use_pallas: bool = False,
 ) -> KernelLinearOperator:
-    """Convenience constructor for the RBF kernel operator."""
+    """Convenience constructor for the RBF kernel operator.
+
+    ``use_pallas`` switches the mat-vec to the fused Pallas tile kernel
+    (ops/rbf.py) — same math, kernel tiles live only in VMEM."""
     symmetric = x2 is None
     if x2 is None:
         x2 = x1
@@ -173,4 +206,5 @@ def rbf_kernel_operator(
         covar_func=rbf_covar,
         block_rows=block_rows,
         symmetric=symmetric,
+        matvec_impl=rbf_pallas_matvec if use_pallas else None,
     )

@@ -100,6 +100,16 @@ def _weighted_kernel(x1_ref, x2_ref, g_ref, v_ref, wx_ref, ws_ref):
         ws_ref[:] = ws_ref[:] + ws
 
 
+def _use_interpret() -> bool:
+    """Pallas TPU kernels need a real TPU backend; elsewhere (CPU tests) run
+    the interpreter."""
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:  # pragma: no cover
+        return True
+    return platform not in ("tpu", "axon")
+
+
 def _pallas_matvec(x1: jax.Array, x2: jax.Array, v: jax.Array, tile: int) -> jax.Array:
     n, d = x1.shape
     m, t = v.shape[0], v.shape[1]
@@ -121,6 +131,7 @@ def _pallas_matvec(x1: jax.Array, x2: jax.Array, v: jax.Array, tile: int) -> jax
         ],
         out_specs=pl.BlockSpec((tile, tp), lambda i, j: (i, 0), memory_space=_VMEM),
         out_shape=jax.ShapeDtypeStruct((np_, tp), jnp.float32),
+        interpret=_use_interpret(),
     )(x1p, x2p, vp)
     return out[:n, :t]
 
@@ -155,6 +166,7 @@ def _pallas_weighted(x1, x2, g, v, tile: int):
             jax.ShapeDtypeStruct((np_, dp), jnp.float32),
             jax.ShapeDtypeStruct((np_, 128), jnp.float32),
         ),
+        interpret=_use_interpret(),
     )(x1p, x2p, gp, vp)
     return wx[:n, :d], ws[:n, 0]
 

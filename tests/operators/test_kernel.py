@@ -153,3 +153,38 @@ class TestKernelPlusNoise(BaseTestCase):
         rhs = jax.random.normal(self.key, (12, 2), dtype=jnp.float64)
         self.assertAllClose(op @ rhs, dense @ rhs, rtol=1e-9, atol=1e-9)
         self.assertAllClose(op.diagonal(), jnp.diagonal(dense), rtol=1e-9, atol=1e-9)
+
+
+class TestPallasRBFMatvec(BaseTestCase):
+    """Pallas fused mat-vec (interpret mode on CPU) vs the covar path."""
+
+    def test_matches_blocked_path(self):
+        from linear_operator_tpu.operators.kernel import rbf_kernel_operator
+
+        x = jax.random.normal(jax.random.PRNGKey(150), (40, 3), dtype=jnp.float32)
+        op_ref = rbf_kernel_operator(
+            x, lengthscale=jnp.float32(0.9), outputscale=jnp.float32(1.2)
+        )
+        op_pl = rbf_kernel_operator(
+            x, lengthscale=jnp.float32(0.9), outputscale=jnp.float32(1.2),
+            use_pallas=True,
+        )
+        rhs = jax.random.normal(self.key, (40, 2), dtype=jnp.float32)
+        self.assertAllClose(op_pl @ rhs, op_ref @ rhs, rtol=1e-4, atol=1e-4)
+
+    def test_gradients_match(self):
+        from linear_operator_tpu.operators.kernel import rbf_kernel_operator
+
+        x = jax.random.normal(jax.random.PRNGKey(151), (24, 2), dtype=jnp.float32)
+        rhs = jax.random.normal(self.key, (24, 1), dtype=jnp.float32)
+
+        def f(ls, use_pallas):
+            op = rbf_kernel_operator(
+                x, lengthscale=ls, outputscale=jnp.float32(1.0),
+                use_pallas=use_pallas,
+            )
+            return jnp.sum((op @ rhs) ** 2)
+
+        ga = jax.grad(lambda ls: f(ls, True))(jnp.float32(0.8))
+        ge = jax.grad(lambda ls: f(ls, False))(jnp.float32(0.8))
+        self.assertAllClose(ga, ge, rtol=1e-2, atol=1e-2)
