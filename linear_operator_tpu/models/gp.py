@@ -32,11 +32,18 @@ def _softplus(x):
 
 
 class ExactGPRegression:
-    """Functional exact-GP model with an RBF kernel (swappable covar_func)."""
+    """Functional exact-GP model with an RBF kernel (swappable covar_func).
 
-    def __init__(self, covar_func=rbf_covar, block_rows: int = 4096):
+    ``use_pallas`` routes kernel mat-vecs through the fused Pallas tile
+    kernel (ops/rbf.py) instead of the blocked XLA path.
+    """
+
+    def __init__(
+        self, covar_func=rbf_covar, block_rows: int = 4096, use_pallas: bool = False
+    ):
         self.covar_func = covar_func
         self.block_rows = block_rows
+        self.use_pallas = use_pallas and covar_func is rbf_covar
 
     def init_params(self, d: int, dtype=jnp.float32) -> GPParams:
         return GPParams(
@@ -50,6 +57,8 @@ class ExactGPRegression:
             symmetric = x2 is None
         if x2 is None:
             x2 = x1
+        from ..operators.kernel import rbf_pallas_matvec
+
         return KernelLinearOperator(
             x1,
             x2,
@@ -60,6 +69,7 @@ class ExactGPRegression:
             covar_func=self.covar_func,
             block_rows=self.block_rows,
             symmetric=symmetric,
+            matvec_impl=rbf_pallas_matvec if self.use_pallas else None,
         )
 
     def train_operator(self, params: GPParams, x):

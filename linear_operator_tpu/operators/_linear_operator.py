@@ -738,9 +738,11 @@ class LinearOperator:
         return BatchRepeatLinearOperator(self, batch_repeat=tuple(sizes[:-2]))
 
     def _unsqueeze_batch(self, dim: int) -> "LinearOperator":
-        return self._expand_batch(
-            self.batch_shape[:dim] + (1,) + self.batch_shape[dim:]
-        )
+        # dense fallback (broadcast cannot INSERT a middle dim); subclasses
+        # override with leaf reshapes
+        from .dense import DenseLinearOperator
+
+        return DenseLinearOperator(jnp.expand_dims(self.to_dense(), dim))
 
     def unsqueeze(self, dim: int) -> "LinearOperator":
         """(reference ``unsqueeze``, :2727-2743)"""

@@ -43,6 +43,9 @@ class DenseLinearOperator(LinearOperator):
             jnp.broadcast_to(self.tensor, (*batch_shape, *self.matrix_shape))
         )
 
+    def _unsqueeze_batch(self, dim: int) -> "DenseLinearOperator":
+        return DenseLinearOperator(jnp.expand_dims(self.tensor, dim))
+
     def _getitem(self, row_index, col_index, *batch_indices) -> LinearOperator:
         return DenseLinearOperator(self.tensor[(*batch_indices, row_index, col_index)])
 

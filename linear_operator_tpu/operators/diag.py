@@ -124,6 +124,9 @@ class DiagLinearOperator(LinearOperator):
         n = self.diag.shape[-1]
         return DiagLinearOperator(jnp.broadcast_to(self.diag, (*batch_shape, n)))
 
+    def _unsqueeze_batch(self, dim: int) -> "DiagLinearOperator":
+        return DiagLinearOperator(jnp.expand_dims(self.diag, dim))
+
     def _getitem(self, row_index, col_index, *batch_indices) -> LinearOperator:
         if (
             isinstance(row_index, slice)
@@ -235,6 +238,11 @@ class ConstantDiagLinearOperator(DiagLinearOperator):
     def _expand_batch(self, batch_shape):
         return ConstantDiagLinearOperator(
             jnp.broadcast_to(self.diag, (*batch_shape, 1)), diag_shape=self.diag_shape
+        )
+
+    def _unsqueeze_batch(self, dim: int):
+        return ConstantDiagLinearOperator(
+            jnp.expand_dims(self.diag, dim), diag_shape=self.diag_shape
         )
 
     def _getitem(self, row_index, col_index, *batch_indices):

@@ -131,31 +131,42 @@ class KernelLinearOperator(LinearOperator):
 # ---------------------------------------------------------------------------
 
 
-def rbf_covar(x1: jax.Array, x2: jax.Array, lengthscale, outputscale) -> jax.Array:
-    """outputscale * exp(-||x1-x2||^2 / (2 l^2)) — computed via the expanded
-    quadratic so the inner product hits the MXU."""
-    x1s = x1 / lengthscale
-    x2s = x2 / lengthscale
+def _sq_dist(x1s: jax.Array, x2s: jax.Array) -> jax.Array:
+    """Pairwise squared distances, exact in f32.
+
+    For small d (the common GP case) an unrolled broadcast-difference sum on
+    the VPU is both exact and faster than the expanded-quadratic matmul: the
+    TPU MXU's bf16-based f32 emulation either perturbs distances by ~1e-3
+    (default precision — enough to shift solves near the noise floor) or
+    costs 6 passes (HIGHEST).  For larger d, fall back to the MXU quadratic
+    at HIGHEST precision.
+    """
+    d = x1s.shape[-1]
+    if d <= 8:
+        batch = jnp.broadcast_shapes(x1s.shape[:-2], x2s.shape[:-2])
+        d2 = jnp.zeros(
+            (*batch, x1s.shape[-2], x2s.shape[-2]), dtype=x1s.dtype
+        )
+        for k in range(d):
+            diff = x1s[..., :, None, k] - x2s[..., None, :, k]
+            d2 = d2 + diff * diff
+        return d2
     sq1 = jnp.sum(x1s * x1s, axis=-1)[..., :, None]
     sq2 = jnp.sum(x2s * x2s, axis=-1)[..., None, :]
-    # HIGHEST precision: the TPU default (bf16 passes) perturbs distances by
-    # ~1e-3, which downstream solves amplify near the noise floor
     inner = jnp.matmul(
         x1s, jnp.swapaxes(x2s, -1, -2), precision=jax.lax.Precision.HIGHEST
     )
-    d2 = jnp.maximum(sq1 + sq2 - 2.0 * inner, 0.0)
+    return jnp.maximum(sq1 + sq2 - 2.0 * inner, 0.0)
+
+
+def rbf_covar(x1: jax.Array, x2: jax.Array, lengthscale, outputscale) -> jax.Array:
+    """outputscale * exp(-||x1-x2||^2 / (2 l^2))."""
+    d2 = _sq_dist(x1 / lengthscale, x2 / lengthscale)
     return outputscale * jnp.exp(-0.5 * d2)
 
 
 def matern52_covar(x1, x2, lengthscale, outputscale):
-    x1s = x1 / lengthscale
-    x2s = x2 / lengthscale
-    sq1 = jnp.sum(x1s * x1s, axis=-1)[..., :, None]
-    sq2 = jnp.sum(x2s * x2s, axis=-1)[..., None, :]
-    inner = jnp.matmul(
-        x1s, jnp.swapaxes(x2s, -1, -2), precision=jax.lax.Precision.HIGHEST
-    )
-    d2 = jnp.maximum(sq1 + sq2 - 2.0 * inner, 0.0)
+    d2 = _sq_dist(x1 / lengthscale, x2 / lengthscale)
     d = jnp.sqrt(d2 + 1e-30)
     s5d = jnp.sqrt(5.0) * d
     return outputscale * (1.0 + s5d + 5.0 / 3.0 * d2) * jnp.exp(-s5d)

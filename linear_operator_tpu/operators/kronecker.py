@@ -211,6 +211,8 @@ class KroneckerProductLinearOperator(LinearOperator):
         from .diag import ConstantDiagLinearOperator, DiagLinearOperator
         from .kronecker_added_diag import KroneckerProductAddedDiagLinearOperator
 
+        if isinstance(other, KroneckerProductDiagLinearOperator):
+            return KroneckerProductAddedDiagLinearOperator(self, other)
         if isinstance(other, (DiagLinearOperator, ConstantDiagLinearOperator)):
             return KroneckerProductAddedDiagLinearOperator(self, other)
         if isinstance(other, KroneckerProductLinearOperator) and len(

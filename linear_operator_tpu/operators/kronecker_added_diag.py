@@ -38,12 +38,19 @@ class KroneckerProductAddedDiagLinearOperator(AddedDiagLinearOperator):
         self.__post_init__()
 
     def __post_init__(self):
+        from .kronecker import KroneckerProductDiagLinearOperator
+
         if len(self.operators) != 2:
             raise ValueError("takes exactly (kron_op, diag_op)")
         if not isinstance(self.operators[0], KroneckerProductLinearOperator):
             raise TypeError("first operand must be a KroneckerProductLinearOperator")
-        if not isinstance(self.operators[1], DiagLinearOperator):
-            raise TypeError("second operand must be a DiagLinearOperator")
+        if not isinstance(
+            self.operators[1],
+            (DiagLinearOperator, KroneckerProductDiagLinearOperator),
+        ):
+            raise TypeError(
+                "second operand must be a Diag or Kronecker-diag operator"
+            )
 
     @property
     def _kron(self) -> KroneckerProductLinearOperator:
@@ -53,6 +60,12 @@ class KroneckerProductAddedDiagLinearOperator(AddedDiagLinearOperator):
     def _is_constant_diag(self) -> bool:
         return isinstance(self.operators[1], ConstantDiagLinearOperator)
 
+    @property
+    def _is_kron_diag(self) -> bool:
+        from .kronecker import KroneckerProductDiagLinearOperator
+
+        return isinstance(self.operators[1], KroneckerProductDiagLinearOperator)
+
     def _eigen(self):
         """Factor eigendecompositions -> (kron evals (*b, N), evecs kron op).
 
@@ -61,24 +74,83 @@ class KroneckerProductAddedDiagLinearOperator(AddedDiagLinearOperator):
         evals, evecs = self._kron.eigh()
         return evals, evecs
 
-    def _solve_structure(self, rhs: jax.Array):
-        if not self._is_constant_diag:
+    def _whitened_eigen(self):
+        """Rakitsch-2013 symmetrized whitening for Kronecker-structured D
+        (reference :164-221): with D = (x) D_d,
+
+            K + D = D^{1/2} ( (x)_d D_d^{-1/2} K_d D_d^{-1/2} + I ) D^{1/2}
+
+        and the whitened middle is again Kronecker -> factor eigh gives
+        exact solves/logdets."""
+        from .dense import DenseLinearOperator
+        from .kronecker import KroneckerProductLinearOperator
+
+        d_factors = self.operators[1].operators
+        k_factors = self._kron.operators
+        if len(d_factors) != len(k_factors):
             return None
-        c = self.operators[1].diag[..., :1]  # (*b, 1)
-        evals, evecs = self._eigen()
-        shifted = evals + c  # (*b, N)
-        y = evecs._t_matmul(rhs)
-        y = y / shifted[..., :, None]
-        return evecs._matmul(y)
+        whitened = []
+        d_invsqrt = []
+        for kf, df in zip(k_factors, d_factors):
+            if kf.shape[-1] != df.shape[-1]:
+                return None
+            dd = df._diagonal()
+            inv_sqrt = jax.lax.rsqrt(jnp.maximum(dd, 1e-30))
+            d_invsqrt.append(inv_sqrt)
+            kw = inv_sqrt[..., :, None] * kf.to_dense() * inv_sqrt[..., None, :]
+            whitened.append(
+                DenseLinearOperator((kw + jnp.swapaxes(kw, -1, -2)) / 2)
+            )
+        evals, evecs = KroneckerProductLinearOperator(tuple(whitened)).eigh()
+        from .kronecker import _kron_vector
+
+        dinvs = _kron_vector(d_invsqrt)  # (*b, N) = diag(D^{-1/2})
+        return evals, evecs, dinvs
+
+    def _solve_structure(self, rhs: jax.Array):
+        if self._is_constant_diag:
+            c = self.operators[1].diag[..., :1]  # (*b, 1)
+            evals, evecs = self._eigen()
+            shifted = evals + c  # (*b, N)
+            y = evecs._t_matmul(rhs)
+            y = y / shifted[..., :, None]
+            return evecs._matmul(y)
+        if self._is_kron_diag:
+            w = self._whitened_eigen()
+            if w is not None:
+                evals, evecs, dinvs = w
+                y = evecs._t_matmul(dinvs[..., :, None] * rhs)
+                y = y / (evals + 1.0)[..., :, None]
+                return dinvs[..., :, None] * evecs._matmul(y)
+        return None
 
     def _logdet_structure(self):
-        if not self._is_constant_diag:
-            return None
-        c = self.operators[1].diag[..., :1]
-        evals, _ = self._eigen()
-        return jnp.sum(jnp.log(jnp.maximum(evals + c, 1e-30)), axis=-1)
+        if self._is_constant_diag:
+            c = self.operators[1].diag[..., :1]
+            evals, _ = self._eigen()
+            return jnp.sum(jnp.log(jnp.maximum(evals + c, 1e-30)), axis=-1)
+        if self._is_kron_diag:
+            w = self._whitened_eigen()
+            if w is not None:
+                evals, _, dinvs = w
+                return jnp.sum(
+                    jnp.log(jnp.maximum(evals + 1.0, 1e-30)), axis=-1
+                ) - 2.0 * jnp.sum(jnp.log(jnp.maximum(dinvs, 1e-30)), axis=-1)
+        return None
 
     def _inv_quad_logdet_structure(self, rhs, logdet):
+        if self._is_kron_diag and not self._is_constant_diag:
+            s = self._solve_structure(rhs) if rhs is not None else None
+            iq = (
+                jnp.sum(s * rhs, axis=-2)
+                if rhs is not None
+                else jnp.zeros(self.batch_shape, dtype=self.dtype)
+            )
+            if logdet:
+                ld = jnp.broadcast_to(self._logdet_structure(), self.batch_shape)
+            else:
+                ld = jnp.zeros(self.batch_shape, dtype=self.dtype)
+            return iq, ld
         if not self._is_constant_diag:
             return None
         c = self.operators[1].diag[..., :1]
@@ -123,8 +195,14 @@ class KroneckerProductAddedDiagLinearOperator(AddedDiagLinearOperator):
         return MatmulLinearOperator(evecs, inv_sqrt)
 
     def __add__(self, other):
-        if isinstance(other, DiagLinearOperator):
+        if isinstance(other, DiagLinearOperator) and isinstance(
+            self.operators[1], DiagLinearOperator
+        ):
             return KroneckerProductAddedDiagLinearOperator(
                 self._kron, self.operators[1] + other
             )
+        if isinstance(other, DiagLinearOperator):
+            # Kronecker-structured diag + plain diag: no closed form; stack
+            # as a generic AddedDiag so CG/preconditioning still applies.
+            return AddedDiagLinearOperator(self, other)
         return super().__add__(other)

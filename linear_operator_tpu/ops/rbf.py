@@ -49,55 +49,71 @@ def _pad_axis(a: jax.Array, axis: int, target: int) -> jax.Array:
     return jnp.pad(a, widths)
 
 
-def _matvec_kernel(x1_ref, x2_ref, v_ref, out_ref):
-    j = pl.program_id(1)
-    x1 = x1_ref[:]
-    x2 = x2_ref[:]
-    v = v_ref[:]
+def _tile_sq_dist(x1, x2, d: int):
+    """Exact-f32 pairwise squared distances inside a tile: unrolled VPU
+    broadcast-differences for small d (avoids the MXU's bf16 rounding of
+    distances), MXU quadratic otherwise."""
+    if d <= 8:
+        d2 = jnp.zeros((x1.shape[0], x2.shape[0]), jnp.float32)
+        for k in range(d):
+            diff = x1[:, k][:, None] - x2[:, k][None, :]
+            d2 = d2 + diff * diff
+        return d2
     sq1 = jnp.sum(x1 * x1, axis=-1, keepdims=True)
     sq2 = jnp.sum(x2 * x2, axis=-1, keepdims=True)
     inner = jnp.dot(x1, x2.T, preferred_element_type=jnp.float32)
-    d2 = jnp.maximum(sq1 + sq2.T - 2.0 * inner, 0.0)
-    k = jnp.exp(-0.5 * d2)
-    contrib = jnp.dot(k, v, preferred_element_type=jnp.float32)
-
-    @pl.when(j == 0)
-    def _():
-        out_ref[:] = contrib
-
-    @pl.when(j > 0)
-    def _():
-        out_ref[:] = out_ref[:] + contrib
+    return jnp.maximum(sq1 + sq2.T - 2.0 * inner, 0.0)
 
 
-def _weighted_kernel(x1_ref, x2_ref, g_ref, v_ref, wx_ref, ws_ref):
-    """Per (i, j) tile: W = K o (g v^T); accumulate W @ x2 and rowsum(W)."""
-    j = pl.program_id(1)
-    x1 = x1_ref[:]
-    x2 = x2_ref[:]
-    g = g_ref[:]
-    v = v_ref[:]
-    sq1 = jnp.sum(x1 * x1, axis=-1, keepdims=True)
-    sq2 = jnp.sum(x2 * x2, axis=-1, keepdims=True)
-    inner = jnp.dot(x1, x2.T, preferred_element_type=jnp.float32)
-    d2 = jnp.maximum(sq1 + sq2.T - 2.0 * inner, 0.0)
-    k = jnp.exp(-0.5 * d2)
-    w = k * jnp.dot(g, v.T, preferred_element_type=jnp.float32)
-    wx = jnp.dot(w, x2, preferred_element_type=jnp.float32)
-    # lane-width (128) broadcast: the caller reads column 0
-    ws = jnp.broadcast_to(
-        jnp.sum(w, axis=-1, keepdims=True), (w.shape[0], 128)
-    )
+def _make_matvec_kernel(d: int):
+    def _matvec_kernel(x1_ref, x2_ref, v_ref, out_ref):
+        j = pl.program_id(1)
+        x1 = x1_ref[:]
+        x2 = x2_ref[:]
+        v = v_ref[:]
+        d2 = _tile_sq_dist(x1, x2, d)
+        k = jnp.exp(-0.5 * d2)
+        contrib = jnp.dot(k, v, preferred_element_type=jnp.float32)
 
-    @pl.when(j == 0)
-    def _():
-        wx_ref[:] = wx
-        ws_ref[:] = ws
+        @pl.when(j == 0)
+        def _():
+            out_ref[:] = contrib
 
-    @pl.when(j > 0)
-    def _():
-        wx_ref[:] = wx_ref[:] + wx
-        ws_ref[:] = ws_ref[:] + ws
+        @pl.when(j > 0)
+        def _():
+            out_ref[:] = out_ref[:] + contrib
+
+    return _matvec_kernel
+
+
+def _make_weighted_kernel(d: int):
+    def _weighted_kernel(x1_ref, x2_ref, g_ref, v_ref, wx_ref, ws_ref):
+        """Per (i, j) tile: W = K o (g v^T); accumulate W @ x2, rowsum(W)."""
+        j = pl.program_id(1)
+        x1 = x1_ref[:]
+        x2 = x2_ref[:]
+        g = g_ref[:]
+        v = v_ref[:]
+        d2 = _tile_sq_dist(x1, x2, d)
+        k = jnp.exp(-0.5 * d2)
+        w = k * jnp.dot(g, v.T, preferred_element_type=jnp.float32)
+        wx = jnp.dot(w, x2, preferred_element_type=jnp.float32)
+        # lane-width (128) broadcast: the caller reads column 0
+        ws = jnp.broadcast_to(
+            jnp.sum(w, axis=-1, keepdims=True), (w.shape[0], 128)
+        )
+
+        @pl.when(j == 0)
+        def _():
+            wx_ref[:] = wx
+            ws_ref[:] = ws
+
+        @pl.when(j > 0)
+        def _():
+            wx_ref[:] = wx_ref[:] + wx
+            ws_ref[:] = ws_ref[:] + ws
+
+    return _weighted_kernel
 
 
 def _use_interpret() -> bool:
@@ -122,7 +138,7 @@ def _pallas_matvec(x1: jax.Array, x2: jax.Array, v: jax.Array, tile: int) -> jax
 
     grid = (np_ // tile, mp // tile)
     out = pl.pallas_call(
-        _matvec_kernel,
+        _make_matvec_kernel(d),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile, dp), lambda i, j: (i, 0), memory_space=_VMEM),
@@ -150,7 +166,7 @@ def _pallas_weighted(x1, x2, g, v, tile: int):
 
     grid = (np_ // tile, mp // tile)
     wx, ws = pl.pallas_call(
-        _weighted_kernel,
+        _make_weighted_kernel(d),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile, dp), lambda i, j: (i, 0), memory_space=_VMEM),

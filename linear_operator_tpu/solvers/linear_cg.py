@@ -232,6 +232,13 @@ def linear_cg(
 
     final = lax.while_loop(cond, body, state0)
 
+    if settings.verbose_linalg.on():
+        # async host-side diagnostic, the analog of the reference's
+        # NumericalWarning on non-convergence (linear_cg.py:337-347)
+        jax.debug.callback(
+            _report_convergence, final.k, final.mean_resid, tolerance
+        )
+
     solution = final.x * rhs_norm
     solution = jnp.where(rhs_is_zero, 0.0, solution).astype(orig_dtype)
     residual_norm = jnp.where(rhs_is_zero, 0.0, jnp.linalg.norm(final.r, axis=-2, keepdims=True))[..., 0, :]
@@ -255,6 +262,26 @@ def linear_cg(
         solution = solution[..., 0]
 
     return CGResult(solution, t_mats, residual_norm.astype(orig_dtype), final.k)
+
+
+def _report_convergence(num_iters, mean_resid, tolerance):
+    import warnings
+
+    from ..utils.warnings import NumericalWarning
+
+    settings.logger.debug(
+        "linear_cg finished in %d iterations, mean residual %.3e",
+        int(num_iters),
+        float(mean_resid),
+    )
+    if float(mean_resid) >= tolerance:
+        warnings.warn(
+            f"CG terminated in {int(num_iters)} iterations with mean residual "
+            f"{float(mean_resid):.3e} >= tolerance {tolerance}. "
+            "If performance is affected, consider raising max_cg_iterations "
+            "or using a preconditioner.",
+            NumericalWarning,
+        )
 
 
 def _tridiag_to_dense(diag: jax.Array, off: jax.Array) -> jax.Array:

@@ -55,6 +55,19 @@ def normalize_getitem_index(op, index):
     if not isinstance(index, tuple):
         index = (index,)
 
+    # None / newaxis: strip, index, then unsqueeze at the None positions
+    # (only valid in batch positions, like the reference).
+    if any(ix is None for ix in index):
+        positions = [i for i, ix in enumerate(index) if ix is None]
+        stripped = tuple(ix for ix in index if ix is not None)
+        result = normalize_getitem_index(op, stripped)
+        for pos in positions:
+            if hasattr(result, "unsqueeze"):
+                result = result.unsqueeze(pos)
+            else:
+                result = jnp.expand_dims(result, pos)
+        return result
+
     # Expand Ellipsis.
     if any(ix is Ellipsis for ix in index):
         pos = index.index(Ellipsis)

@@ -186,3 +186,35 @@ class TestSumKronecker(BaseTestCase):
             (DenseLinearOperator(a * 0.5), DenseLinearOperator(b * 2.0))
         )
         self.assertIsInstance(kp1 + kp2, SumKroneckerLinearOperator)
+
+
+class TestKroneckerKronDiag(BaseTestCase):
+    """Rakitsch-style exact solves for Kronecker-structured diagonals."""
+
+    def test_kron_diag_exact(self):
+        a = _psd(jax.random.PRNGKey(106), n=3)
+        b = _psd(jax.random.PRNGKey(107), n=4)
+        d1 = jnp.abs(jax.random.normal(jax.random.PRNGKey(108), (3,), dtype=jnp.float64)) + 0.5
+        d2 = jnp.abs(jax.random.normal(jax.random.PRNGKey(109), (4,), dtype=jnp.float64)) + 0.5
+        kp = KroneckerProductLinearOperator(
+            (DenseLinearOperator(a), DenseLinearOperator(b))
+        )
+        kdiag = KroneckerProductDiagLinearOperator(
+            (DiagLinearOperator(d1), DiagLinearOperator(d2))
+        )
+        op = kp + kdiag
+        self.assertIsInstance(op, KroneckerProductAddedDiagLinearOperator)
+        dense = jnp.kron(a, b) + jnp.diag(jnp.kron(d1, d2))
+        rhs = jax.random.normal(self.key, (12, 2), dtype=jnp.float64)
+        self.assertAllClose(op @ rhs, dense @ rhs, rtol=1e-10, atol=1e-10)
+        self.assertAllClose(
+            op._solve_structure(rhs), jnp.linalg.solve(dense, rhs), rtol=1e-8, atol=1e-8
+        )
+        self.assertAllClose(
+            op._logdet_structure(), jnp.linalg.slogdet(dense)[1], rtol=1e-9, atol=1e-9
+        )
+        iq, ld = op.inv_quad_logdet(rhs, logdet=True)
+        self.assertAllClose(
+            iq, jnp.sum(jnp.linalg.solve(dense, rhs) * rhs), rtol=1e-8, atol=1e-8
+        )
+        self.assertAllClose(ld, jnp.linalg.slogdet(dense)[1], rtol=1e-9, atol=1e-9)

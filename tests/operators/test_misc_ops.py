@@ -153,3 +153,33 @@ class TestSumBatchLinearOperator(LinearOperatorTestCase):
 
     def test_getitem_tensor_index(self):
         pass  # base _get_indices through SumBatch exercised separately
+
+
+class TestGetitemNewaxis(BaseTestCase):
+    def test_none_index(self):
+        d = _psd(jax.random.PRNGKey(73))
+        op = DenseLinearOperator(d)
+        res = op[None]
+        self.assertEqual(res.shape, (1, 6, 6))
+        self.assertAllClose(res.to_dense(), d[None], rtol=0, atol=0)
+
+    def test_none_with_slices(self):
+        d = _psd(jax.random.PRNGKey(74), 3)
+        op = DenseLinearOperator(d)
+        res = op[:, None]
+        self.assertEqual(res.shape, (3, 1, 6, 6))
+        self.assertAllClose(res.to_dense(), d[:, None], rtol=0, atol=0)
+
+
+class TestCatBatchDim(BaseTestCase):
+    def test_batch_concat(self):
+        from linear_operator_tpu.operators import cat
+
+        a = _psd(jax.random.PRNGKey(75), 2)
+        b = _psd(jax.random.PRNGKey(76), 3)
+        joined = cat([DenseLinearOperator(a), DenseLinearOperator(b)], dim=0)
+        dense = jnp.concatenate([a, b], axis=0)
+        self.assertEqual(joined.shape, (5, 6, 6))
+        self.assertAllClose(joined.to_dense(), dense, rtol=0, atol=0)
+        rhs = jax.random.normal(self.key, (5, 6, 2), dtype=jnp.float64)
+        self.assertAllClose(joined @ rhs, dense @ rhs, rtol=1e-12, atol=1e-12)
