@@ -10,9 +10,6 @@ for the correspondence.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
-
-from .. import settings
 from ._inv_quad_logdet import inv_quad_logdet
 from ._root_decomposition import (
     diagonalization,

@@ -22,13 +22,13 @@ import jax
 import jax.numpy as jnp
 
 from .. import settings
-from ..solvers.lanczos import lanczos_tridiag
+from ..solvers import lanczos as _lanczos_module
 
 
 def _lanczos_root_impl(op, key, k: int):
     n = op.shape[-1]
     init = jax.random.normal(key, (*op.batch_shape, n), dtype=op.dtype)
-    Q, T = lanczos_tridiag(op._matmul, k, init_vecs=init)
+    Q, T = _lanczos_module.lanczos_tridiag(op._matmul, k, init_vecs=init)
     kk = T.shape[-1]
     jitter = settings.tridiagonal_jitter.value()
     T = T + jitter * jnp.eye(kk, dtype=T.dtype)
@@ -166,7 +166,7 @@ def diagonalization(op, method: str | None = None, *, key: jax.Array | None = No
         init = jax.random.normal(
             _fallback_key(key), (*op.batch_shape, n), dtype=op.dtype
         )
-        Q, T = lanczos_tridiag(op._matmul, k, init_vecs=init)
+        Q, T = _lanczos_module.lanczos_tridiag(op._matmul, k, init_vecs=init)
         evals, evecs = jnp.linalg.eigh(T)
         evals = jnp.maximum(evals, 0.0)
         return evals, DenseLinearOperator(Q @ evecs)

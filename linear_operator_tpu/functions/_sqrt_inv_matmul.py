@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import settings
-from ..solvers.contour_integral_quad import ciq_shifts_weights, contour_integral_quad
+from ..solvers.contour_integral_quad import contour_integral_quad
 from ..solvers.minres import minres
 from ._solve import _unbroadcast
 

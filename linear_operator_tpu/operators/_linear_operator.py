@@ -29,7 +29,7 @@ Architectural departures from the reference (deliberate, TPU-first):
 from __future__ import annotations
 
 import warnings
-from typing import Any, Callable, Sequence
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +38,6 @@ import numpy as np
 from .. import settings
 from .._pytree import tree_map_leaves
 from ..utils.broadcasting import broadcast_shapes, matmul_broadcast_shape
-from ..utils.errors import NotPSDError
 from ..utils.warnings import PerformanceWarning
 
 IndexType = Any

@@ -8,16 +8,12 @@ Woodbury identity, with logdet(P) from the matrix determinant lemma.
 
 from __future__ import annotations
 
-from typing import Callable
-
 import jax
-import jax.numpy as jnp
-from jax import lax
 
 from .._pytree import operator_class
 from .. import settings
 from ._linear_operator import LinearOperator
-from .diag import ConstantDiagLinearOperator, DiagLinearOperator
+from .diag import DiagLinearOperator
 from .sum import SumLinearOperator
 
 

@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 
 from .._pytree import operator_class, static_field
-from ..utils.broadcasting import broadcast_shapes
 from ._linear_operator import LinearOperator
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .._pytree import operator_class, static_field
+from .._pytree import operator_class
 from ._linear_operator import LinearOperator
 
 

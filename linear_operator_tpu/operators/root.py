@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from .._pytree import operator_class
-from ._linear_operator import LinearOperator, to_linear_operator
+from ._linear_operator import LinearOperator
 
 
 @operator_class

@@ -19,10 +19,7 @@ Everything is GSPMD: we annotate shardings with ``jax.device_put`` /
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 

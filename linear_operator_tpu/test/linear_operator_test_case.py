@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import settings
-from ..operators import DenseLinearOperator, LinearOperator
+from ..operators import LinearOperator
 from .base_test_case import BaseTestCase
 
 
@@ -377,8 +377,18 @@ class LinearOperatorTestCase(RectangularLinearOperatorTestCase):
     def test_root_decomposition_lanczos(self):
         op = self.create_linear_op()
         dense = self.evaluate_linear_op(op)
+        from ..solvers import lanczos as lanczos_module
+
         with settings.max_cholesky_size(0):
-            root_op = op.root_decomposition(key=self.key)
+            with mock.patch(
+                "linear_operator_tpu.solvers.lanczos.lanczos_tridiag",
+                wraps=lanczos_module.lanczos_tridiag,
+            ) as lanczos_mock:
+                root_op = op.root_decomposition(key=self.key)
+                if self.should_call_lanczos and op._root_structure() is None:
+                    self.assertTrue(
+                        lanczos_mock.called, "expected Lanczos to be invoked"
+                    )
         root = root_op.root.to_dense()
         self.assertAllClose(
             root @ jnp.swapaxes(root, -1, -2),

@@ -8,7 +8,6 @@ from __future__ import annotations
 
 import contextlib
 
-import jax
 import numpy as np
 
 
