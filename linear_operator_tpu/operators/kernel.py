@@ -66,11 +66,20 @@ class KernelLinearOperator(LinearOperator):
         return self.covar_func(x1_block, self.x2, **self.params)
 
     def _matmul(self, rhs: jax.Array) -> jax.Array:
+        # The K-block @ rhs contraction needs >= 3-pass-bf16 (HIGH) products:
+        # the TPU default single-pass-bf16 matmul injects ~1e-2 relative noise
+        # into the mat-vec, which stalls CG above tolerance (residuals even
+        # grow — the effective operator stops being symmetric to that order).
+        # HIGH converges identically to HIGHEST here at ~3/6 the passes.
         if self.matvec_impl is not None:
             return self.matvec_impl(self.x1, self.x2, rhs, self.params)
         n = self.x1.shape[-2]
         if n <= self.block_rows:
-            return self._kernel_block(self.x1) @ rhs
+            return jnp.matmul(
+                self._kernel_block(self.x1),
+                rhs,
+                precision=jax.lax.Precision.HIGH,
+            )
         nblocks = -(-n // self.block_rows)
         pad = nblocks * self.block_rows - n
         x1p = jnp.pad(self.x1, [(0, 0)] * (self.x1.ndim - 2) + [(0, pad), (0, 0)])
@@ -81,7 +90,11 @@ class KernelLinearOperator(LinearOperator):
         )  # (nblocks, *b, block, d)
 
         def one_block(x1_block):
-            return self.covar_func(x1_block, self.x2, **self.params) @ rhs
+            return jnp.matmul(
+                self.covar_func(x1_block, self.x2, **self.params),
+                rhs,
+                precision=jax.lax.Precision.HIGH,
+            )
 
         out = jax.lax.map(one_block, x1b)  # (nblocks, *bb, block, t)
         out = jnp.moveaxis(out, 0, -3)

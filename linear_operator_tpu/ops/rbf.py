@@ -73,7 +73,13 @@ def _make_matvec_kernel(d: int):
         v = v_ref[:]
         d2 = _tile_sq_dist(x1, x2, d)
         k = jnp.exp(-0.5 * d2)
-        contrib = jnp.dot(k, v, preferred_element_type=jnp.float32)
+        # HIGH precision: single-pass bf16 products inject ~1e-2 mat-vec
+        # noise, stalling CG (see operators/kernel.py)
+        contrib = jax.lax.dot_general(
+            k, v, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGH,
+            preferred_element_type=jnp.float32,
+        )
 
         @pl.when(j == 0)
         def _():
