@@ -34,9 +34,12 @@ def build_benchmark(n=100_000, d=3, num_probes=10, block_rows=8192):
     params = model.init_params(d)
 
     def loss_fn(params, x, y):
+        # rank-100 pivoted-Cholesky preconditioning per BASELINE.json config 3
+        # (41 CG iterations vs 47 unpreconditioned at N=1e5)
         with settings.max_cholesky_size(0), settings.num_trace_samples(num_probes), \
              settings.max_cg_iterations(100), settings.cg_tolerance(1.0), \
-             settings.min_preconditioning_size(10**9), \
+             settings.max_preconditioner_size(100), \
+             settings.min_preconditioning_size(2000), \
              settings.max_lanczos_quadrature_iterations(20):
             return model.neg_mll(params, x, y, key=jax.random.PRNGKey(1))
 

@@ -33,17 +33,23 @@ def woodbury_solve_closure(U: jax.Array, diag: jax.Array):
     dinv = 1.0 / diag  # (*b, n)
     DinvU = dinv[..., :, None] * U  # (*b, n, r)
     r = U.shape[-1]
-    cap = jnp.eye(r, dtype=U.dtype) + jnp.swapaxes(U, -1, -2) @ DinvU  # (*b, r, r)
+    # HIGHEST precision throughout: these skinny (n x r) contractions are
+    # cheap, and default bf16 products make P^{-1} inexact enough to break
+    # PCG convergence at large n (the closure must act as an SPD operator)
+    hi = jax.lax.Precision.HIGHEST
+    cap = jnp.eye(r, dtype=U.dtype) + jnp.matmul(
+        jnp.swapaxes(U, -1, -2), DinvU, precision=hi
+    )  # (*b, r, r)
     cap_chol = jnp.linalg.cholesky(cap)
 
     def closure(v: jax.Array) -> jax.Array:
         dv = dinv[..., :, None] * v
-        t = jnp.swapaxes(DinvU, -1, -2) @ v  # (*b, r, t)
+        t = jnp.matmul(jnp.swapaxes(DinvU, -1, -2), v, precision=hi)  # (*b, r, t)
         y = lax.linalg.triangular_solve(cap_chol, t, left_side=True, lower=True)
         y = lax.linalg.triangular_solve(
             cap_chol, y, left_side=True, lower=True, transpose_a=True
         )
-        return dv - DinvU @ y
+        return dv - jnp.matmul(DinvU, y, precision=hi)
 
     logdet = 2.0 * jnp.sum(
         jnp.log(jnp.diagonal(cap_chol, axis1=-2, axis2=-1)), axis=-1

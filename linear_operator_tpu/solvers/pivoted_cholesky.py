@@ -79,7 +79,11 @@ def pivoted_cholesky_with_pivots(op, rank: int, error_tol: float | None = None):
 
         col = get_column(pivot)  # (*b, n)
         Lp = jnp.take_along_axis(L, pivot[..., None, None], axis=-1)[..., 0]  # (*b, rank)
-        row = col - jnp.einsum("...kn,...k->...n", L, Lp)
+        # HIGHEST precision: the downdate accumulates over `rank` steps, and
+        # default bf16 products corrupt the factor at rank >~ 30 on TPU
+        row = col - jnp.einsum(
+            "...kn,...k->...n", L, Lp, precision=jax.lax.Precision.HIGHEST
+        )
         denom = jnp.sqrt(jnp.maximum(dp, 1e-30))
         li = row / denom[..., None]
         li = jnp.where(active[..., None], li, 0.0)
