@@ -7,12 +7,15 @@ training step for multi-chip sharding, and a benchmark target.
 """
 
 from .gp import ExactGPRegression, GPParams
+from .multitask import MultitaskGPParams, MultitaskGPRegression
 from .ski import GridSpec, SKIGPRegression, SKIParams, make_grid
 
 __all__ = [
     "ExactGPRegression",
     "GPParams",
     "GridSpec",
+    "MultitaskGPParams",
+    "MultitaskGPRegression",
     "SKIGPRegression",
     "SKIParams",
     "make_grid",
