@@ -50,8 +50,17 @@ def inv_quad_logdet(
     *,
     key: jax.Array | None = None,
     num_probes: int | None = None,
+    factored=None,
 ):
-    """Returns (inv_quad, logdet); each is zeros(batch) when not requested."""
+    """Returns (inv_quad, logdet); each is zeros(batch) when not requested.
+
+    ``factored``: optional factor-carrying operator (from ``op.cholesky()``
+    etc.) whose structural closed forms are used instead of refactorizing —
+    the functional analog of the reference's memoize cache (see
+    functions._solve.solve).
+    """
+    if factored is not None:
+        op = op.with_factorization(factored)
     if settings.debug.on() and not op.is_square:
         raise RuntimeError("inv_quad_logdet requires a square operator")
 
@@ -173,8 +182,16 @@ def _stochastic_forward(op, rhs, probes):
     solves = result.solution
 
     if m > 0:
-        evals, evecs = lanczos_tridiag_to_diag(result.t_mats)
+        # NaN-probe propagation (reference functions/_inv_quad_logdet.py:
+        # 141-142): a NaN anywhere in the tridiagonals means the solve
+        # failed — return NaN logdet rather than quadrature garbage.
+        t_mats = result.t_mats
+        bad = jnp.isnan(t_mats).any()
+        evals, evecs = lanczos_tridiag_to_diag(
+            jnp.where(bad, jnp.eye(t_mats.shape[-1], dtype=t_mats.dtype), t_mats)
+        )
         (ld,) = slq_quadrature(n, evals, evecs, [jnp.log])
+        ld = jnp.where(bad, jnp.nan, ld)
         probe_solves = solves[..., :m]
     else:
         ld = jnp.zeros(op.batch_shape, dtype=op.dtype)

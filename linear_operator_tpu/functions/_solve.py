@@ -76,12 +76,24 @@ def _solve_bwd(res, g):
 solve_base.defvjp(_solve_fwd, _solve_bwd)
 
 
-def solve(op, rhs: jax.Array, lhs: jax.Array | None = None) -> jax.Array:
+def solve(
+    op, rhs: jax.Array, lhs: jax.Array | None = None, *, factored=None
+) -> jax.Array:
     """Public solve (reference functions/__init__.py:201-230).
 
     rhs may be a vector (N,) or matrix (*b, N, T); with ``lhs`` returns
     ``lhs @ K^{-1} rhs``.
+
+    ``factored`` is the functional analog of the reference's memoize cache
+    (utils/memoize.py:10-125): pass a factor-carrying operator previously
+    obtained from ``op.cholesky()`` / ``op.root_decomposition().root_op`` and
+    the solve routes through its structural fast path instead of
+    refactorizing.  Gradients flow to ``op``'s leaves THROUGH the
+    factorization's VJP, exactly as if the factorization had been computed
+    inline.
     """
+    if factored is not None:
+        op = op.with_factorization(factored)
     rhs = jnp.asarray(rhs)
     squeeze = rhs.ndim == 1
     if squeeze:

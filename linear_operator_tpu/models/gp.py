@@ -39,11 +39,16 @@ class ExactGPRegression:
     """
 
     def __init__(
-        self, covar_func=rbf_covar, block_rows: int = 4096, use_pallas: bool = False
+        self,
+        covar_func=rbf_covar,
+        block_rows: int = 4096,
+        use_pallas: bool = False,
+        materialize_threshold: int | None = 2**30,
     ):
         self.covar_func = covar_func
         self.block_rows = block_rows
         self.use_pallas = use_pallas and covar_func is rbf_covar
+        self.materialize_threshold = materialize_threshold
 
     def init_params(self, d: int, dtype=jnp.float32) -> GPParams:
         return GPParams(
@@ -70,6 +75,7 @@ class ExactGPRegression:
             block_rows=self.block_rows,
             symmetric=symmetric,
             matvec_impl=rbf_pallas_matvec if self.use_pallas else None,
+            materialize_threshold=self.materialize_threshold,
         )
 
     def train_operator(self, params: GPParams, x):

@@ -288,6 +288,16 @@ class LinearOperator:
             )
         return None, None, None
 
+    def _matmul_closure(self) -> Callable[[jax.Array], jax.Array]:
+        """Mat-vec closure for iterative solvers.  Called ONCE per solve,
+        OUTSIDE the solver's ``while_loop`` — operators that benefit from
+        hoisted per-solve setup override this (KernelLinearOperator caches a
+        materialized K when it fits the memory budget, cutting kernel
+        re-evaluation ~(CG iterations)x; Sum/ConstantMul compose term
+        closures so the caching survives wrapping, e.g. K + noise*I).
+        Default: ``self._matmul``."""
+        return self._matmul
+
     def _solve_via_cg(
         self,
         rhs: jax.Array,
@@ -299,7 +309,10 @@ class LinearOperator:
         from ..solvers.linear_cg import linear_cg
 
         return linear_cg(
-            self._matmul, rhs, preconditioner=preconditioner, n_tridiag=n_tridiag
+            self._matmul_closure(),
+            rhs,
+            preconditioner=preconditioner,
+            n_tridiag=n_tridiag,
         )
 
     # ------------------------------------------------------------------
@@ -418,7 +431,11 @@ class LinearOperator:
             )
         else:
             diag_op = DiagLinearOperator(jnp.broadcast_to(diag, diag.shape[:-1] + (n,)))
-        return AddedDiagLinearOperator(self, diag_op)
+        # Route through __add__ so subclass dispatch applies (the reference
+        # overrides add_diagonal per class, e.g. Kronecker ->
+        # KroneckerProductAddedDiag, kronecker_product_linear_operator.py:116;
+        # here the + dispatch IS that registry).
+        return self + diag_op
 
     def add_jitter(self, jitter_val: float = 1e-3) -> "LinearOperator":
         """(reference ``add_jitter``, :1010-1017)"""
@@ -528,19 +545,60 @@ class LinearOperator:
     # Solves, quadratic forms, log-determinants
     # ------------------------------------------------------------------
 
-    def solve(self, rhs: jax.Array, lhs: jax.Array | None = None) -> jax.Array:
+    def solve(
+        self, rhs: jax.Array, lhs: jax.Array | None = None, *, factored=None
+    ) -> jax.Array:
         """K^{-1} rhs, optionally lhs @ K^{-1} rhs (reference ``solve``,
-        :2324-2379)."""
+        :2324-2379).  ``factored``: reuse a factorization (see
+        ``with_factorization``)."""
         from ..functions import solve
 
-        return solve(self, rhs, lhs)
+        return solve(self, rhs, lhs, factored=factored)
+
+    def with_factorization(self, factor: "LinearOperator") -> "LinearOperator":
+        """Functional analog of the reference's memoize cache seeding
+        (utils/memoize.py:10-125, add_low_rank :1139-1140, cat_rows
+        :1300-1306): given a factor-carrying operator previously computed
+        for this operator (``self.cholesky()``, a root decomposition, ...),
+        returns the operator through which all subsequent solves / logdets /
+        samples should be routed.  Since factor-carrying operators represent
+        the SAME matrix with structural fast paths — and their VJPs carry
+        gradients back to the original leaves — the result is the factor
+        wrapped as the matrix it factorizes (a triangular L becomes
+        CholLinearOperator(L) = L L^T); matrix-shaped factor carriers pass
+        through validated.
+        """
+        factor = self._wrap_factor(factor)
+        if settings.debug.on() and factor.shape != self.shape:
+            raise RuntimeError(
+                f"factorization shape {factor.shape} != operator shape {self.shape}"
+            )
+        return factor
+
+    @staticmethod
+    def _wrap_factor(factor: "LinearOperator") -> "LinearOperator":
+        """Normalize a factorization into the operator it represents: a
+        triangular Cholesky factor L becomes CholLinearOperator(L) = L L^T
+        (upper factors R become R^T R via transposition); factor-carrying
+        matrix operators (Chol/Root/...) pass through."""
+        from .chol import CholLinearOperator
+        from .triangular import TriangularLinearOperator
+
+        if isinstance(factor, TriangularLinearOperator):
+            if factor.upper:
+                factor = factor._transpose()
+            return CholLinearOperator(factor)
+        return factor
 
     def solve_triangular(self, rhs: jax.Array, *, upper: bool, left: bool = True):
-        if not left:
-            return jnp.swapaxes(
-                self._transpose().solve(jnp.swapaxes(rhs, -1, -2)), -1, -2
-            )
-        return self.solve(rhs)
+        """Only defined for triangular operators — the base class cannot
+        honor ``upper`` without densifying, so it refuses like the reference
+        (_linear_operator.py:2411-2412); TriangularLinearOperator overrides
+        and validates ``upper`` against its own orientation."""
+        raise NotImplementedError(
+            f"solve_triangular({type(self).__name__}) is not implemented; "
+            "only triangular operators support it."
+        )
 
     def inv_quad(self, rhs: jax.Array, reduce_inv_quad: bool = True) -> jax.Array:
         """rhs^T K^{-1} rhs (reference ``inv_quad``, :1637-1686)."""
@@ -629,7 +687,11 @@ class LinearOperator:
 
         if settings.debug.on() and not self.is_square:
             raise RuntimeError("eigh requires a square (symmetric) operator")
-        evals, evecs = jnp.linalg.eigh(self.to_dense())
+        from ..utils.eigh import eigh_safe
+
+        # degeneracy-safe JVP: repeated eigenvalues (isotropic task kernels,
+        # identical batch elements) must not turn gradients NaN
+        evals, evecs = eigh_safe(self.to_dense())
         return evals, DenseLinearOperator(evecs)
 
     def eigvalsh(self) -> jax.Array:
@@ -862,6 +924,24 @@ class LinearOperator:
         O(N) per index set — overridden by structured subclasses."""
         dense = self.to_dense()
         return dense[(*batch_indices, row_index, col_index)]
+
+    def _select_rows(self, idx: jax.Array) -> "LinearOperator":
+        """Lazy K[..., idx, :] for a 1-D index array: wrap in one-hot
+        Interpolated selection matrices (reference _linear_operator.py:303-313)
+        so matrix-free operators stay matrix-free under tensor indexing.
+        Structured subclasses override with direct fast paths."""
+        from .interpolated import InterpolatedLinearOperator
+
+        m = self.shape[-1]
+        li = jnp.asarray(idx, jnp.int32)[:, None]
+        lv = jnp.ones(li.shape, self.dtype)
+        ri = jnp.arange(m, dtype=jnp.int32)[:, None]
+        rv = jnp.ones((m, 1), self.dtype)
+        return InterpolatedLinearOperator(self, li, lv, ri, rv)
+
+    def _select_cols(self, idx: jax.Array) -> "LinearOperator":
+        """Lazy K[..., :, idx] (see ``_select_rows``)."""
+        return self._transpose()._select_rows(idx)._transpose()
 
     def __getitem__(self, index) -> "LinearOperator | jax.Array":
         """Tensor-style indexing (reference ``__getitem__``, :2829-2926).

@@ -9,6 +9,7 @@ Woodbury identity, with logdet(P) from the matrix determinant lemma.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 from .._pytree import operator_class
 from .. import settings
@@ -75,6 +76,16 @@ class AddedDiagLinearOperator(SumLinearOperator):
 
         L = pivoted_cholesky(self._linear_op, rank=k)  # (*b, n, k)
         diag = self._diag_op._diagonal()  # (*b, n)
+
+        # NaN bail-out (reference added_diag_linear_operator.py:126-131
+        # falls back to no preconditioner when the pivoted-Cholesky factor
+        # went NaN).  Trace-safe analog: zero the factor, so P = D exactly —
+        # Woodbury reduces to D^{-1}, logdet to logdet(D) — instead of
+        # poisoning every CG iteration.
+        from ..utils.warnings import debug_nan_check
+
+        debug_nan_check("pivoted_cholesky preconditioner", L)
+        L = jnp.where(jnp.isnan(L).any(), jnp.zeros_like(L), L)
 
         closure, logdet_p = woodbury_solve_closure(L, diag)
         precond_op = LowRankRootLinearOperator(DenseLinearOperator(L)).add_diagonal(

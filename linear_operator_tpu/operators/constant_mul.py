@@ -33,6 +33,11 @@ class ConstantMulLinearOperator(LinearOperator):
     def _t_matmul(self, rhs: jax.Array) -> jax.Array:
         return self._expanded_constant * self.base._t_matmul(rhs)
 
+    def _matmul_closure(self):
+        base_mm = self.base._matmul_closure()
+        c = self._expanded_constant
+        return lambda rhs: c * base_mm(rhs)
+
     def _shape(self) -> tuple[int, ...]:
         batch = broadcast_shapes(self.base.batch_shape, jnp.shape(self.constant))
         return (*batch, *self.base.matrix_shape)

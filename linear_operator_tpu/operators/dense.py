@@ -52,6 +52,12 @@ class DenseLinearOperator(LinearOperator):
     def _get_indices(self, row_index, col_index, *batch_indices) -> jax.Array:
         return self.tensor[(*batch_indices, row_index, col_index)]
 
+    def _select_rows(self, idx) -> "DenseLinearOperator":
+        return DenseLinearOperator(self.tensor[..., idx, :])
+
+    def _select_cols(self, idx) -> "DenseLinearOperator":
+        return DenseLinearOperator(self.tensor[..., :, idx])
+
     def _permute_batch(self, *dims: int) -> "DenseLinearOperator":
         nd = self.tensor.ndim
         return DenseLinearOperator(jnp.transpose(self.tensor, (*dims, nd - 2, nd - 1)))

@@ -39,9 +39,18 @@ class KernelLinearOperator(LinearOperator):
     block_rows: int = static_field(default=4096)
     symmetric: bool = static_field(default=False)
     matvec_impl: Callable | None = static_field(default=None)
-    # matvec_impl(x1, x2, rhs, params) -> K @ rhs: a fused (Pallas) kernel
-    # mat-vec that never materializes kernel blocks; used when set, with the
-    # blocked covar_func path as the generic fallback.
+    # matvec_impl(x1, x2, rhs, params, symmetric=...) -> K @ rhs: a fused
+    # (Pallas) kernel mat-vec that never materializes kernel blocks; used
+    # when set, with the blocked covar_func path as the generic fallback.
+    materialize_threshold: int | None = static_field(default=2**30)
+    # Byte budget for per-solve K caching (``_matmul_closure``): when the
+    # full f32 kernel matrix fits, iterative solvers materialize K ONCE per
+    # solve instead of re-evaluating it every CG/Lanczos iteration — a
+    # ~(num iterations)x cut in kernel evaluations.  The default 1 GiB
+    # budget (n*m <= ~16k^2 unbatched) leaves HBM room for solver state;
+    # None disables caching.  The reference materializes the covar block in
+    # every ``_matmul`` (kernel_linear_operator.py:379) — here streaming is
+    # the fallback, caching the per-solve optimization.
 
     @property
     def _symmetric_hint(self) -> bool:
@@ -60,7 +69,27 @@ class KernelLinearOperator(LinearOperator):
             block_rows=self.block_rows,
             symmetric=self.symmetric,
             matvec_impl=self.matvec_impl,
+            materialize_threshold=self.materialize_threshold,
         )
+
+    def _matmul_closure(self):
+        """Per-solve K caching: materialize the kernel matrix once when it
+        fits ``materialize_threshold`` bytes in f32 (see field docs)."""
+        import math
+
+        thr = self.materialize_threshold
+        if thr is not None and math.prod(self.shape) * 4 <= thr:
+            kd = self.to_dense().astype(jnp.float32)
+
+            def cached_mm(rhs: jax.Array) -> jax.Array:
+                return jnp.matmul(
+                    kd,
+                    rhs.astype(jnp.float32),
+                    precision=jax.lax.Precision.HIGH,
+                ).astype(rhs.dtype)
+
+            return cached_mm
+        return self._matmul
 
     def _kernel_block(self, x1_block: jax.Array) -> jax.Array:
         return self.covar_func(x1_block, self.x2, **self.params)
@@ -72,7 +101,9 @@ class KernelLinearOperator(LinearOperator):
         # grow — the effective operator stops being symmetric to that order).
         # HIGH converges identically to HIGHEST here at ~3/6 the passes.
         if self.matvec_impl is not None:
-            return self.matvec_impl(self.x1, self.x2, rhs, self.params)
+            return self.matvec_impl(
+                self.x1, self.x2, rhs, self.params, symmetric=self.symmetric
+            )
         n = self.x1.shape[-2]
         if n <= self.block_rows:
             return jnp.matmul(
@@ -128,6 +159,7 @@ class KernelLinearOperator(LinearOperator):
             and isinstance(row_index, slice)
             and isinstance(col_index, slice)
             and row_index == col_index,
+            materialize_threshold=self.materialize_threshold,
         )
 
     def _get_indices(self, row_index, col_index, *batch_indices) -> jax.Array:
@@ -137,6 +169,30 @@ class KernelLinearOperator(LinearOperator):
         x2 = self.x2[(*batch_indices, col_index, slice(None))]
         vals = self.covar_func(x1[..., None, :], x2[..., None, :], **self.params)
         return vals[..., 0, 0]
+
+    def _select_rows(self, idx) -> "KernelLinearOperator":
+        """K[idx, :] stays a lazy kernel operator on gathered points
+        (reference :263-378 re-invokes the covar closure on sub-data)."""
+        return KernelLinearOperator(
+            self.x1[..., idx, :],
+            self.x2,
+            self.params,
+            covar_func=self.covar_func,
+            block_rows=self.block_rows,
+            symmetric=False,
+            materialize_threshold=self.materialize_threshold,
+        )
+
+    def _select_cols(self, idx) -> "KernelLinearOperator":
+        return KernelLinearOperator(
+            self.x1,
+            self.x2[..., idx, :],
+            self.params,
+            covar_func=self.covar_func,
+            block_rows=self.block_rows,
+            symmetric=False,
+            materialize_threshold=self.materialize_threshold,
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -185,25 +241,47 @@ def matern52_covar(x1, x2, lengthscale, outputscale):
     return outputscale * (1.0 + s5d + 5.0 / 3.0 * d2) * jnp.exp(-s5d)
 
 
-def rbf_pallas_matvec(x1, x2, rhs, params, *, tile: int = 1024):
+def rbf_pallas_matvec(x1, x2, rhs, params, *, symmetric: bool = False, tile: int = 512):
     """Fused Pallas RBF mat-vec (ops/rbf.py): prescaling keeps hyperparameter
-    gradients in jnp-land while the tiles never materialize K."""
-    from ..ops.rbf import rbf_matvec
+    gradients in jnp-land while the tiles never materialize K.
+
+    When the operator is symmetric (x1 == x2, unbatched, few columns) the
+    symmetric upper-triangle kernel is used — each kernel tile is formed once,
+    halving the VPU exp work that bounds this mat-vec (ops/rbf.py)."""
+    from ..ops.rbf import rbf_matvec, rbf_matvec_sym, sym_matvec_supported
 
     ls = params["lengthscale"]
     os_ = params["outputscale"]
     x1s = (x1 / ls).astype(jnp.float32)
     x2s = (x2 / ls).astype(jnp.float32)
-    if x1.ndim == 2:
+    if (
+        symmetric
+        and x1.ndim == 2
+        and rhs.ndim == 2
+        and sym_matvec_supported(x1.shape[-2], rhs.shape[-1], 0)
+    ):
+        out = rbf_matvec_sym(x1s, rhs.astype(jnp.float32), 1024)
+    elif x1.ndim == 2 and rhs.ndim == 2:
         out = rbf_matvec(x1s, x2s, rhs.astype(jnp.float32), tile)
     else:
-        flat1 = x1s.reshape(-1, *x1s.shape[-2:])
-        flat2 = jnp.broadcast_to(x2s, x1s.shape).reshape(-1, *x2s.shape[-2:])
-        rb = jnp.broadcast_to(
-            rhs, (*x1s.shape[:-2], *rhs.shape[-2:])
-        ).reshape(-1, *rhs.shape[-2:]).astype(jnp.float32)
-        out = jax.vmap(lambda a, b, v: rbf_matvec(a, b, v, tile))(flat1, flat2, rb)
-        out = out.reshape(*x1s.shape[:-2], *out.shape[-2:])
+        # Batched (possibly rectangular, x1 n-points != x2 m-points):
+        # broadcast each argument to the joint batch with its OWN point count.
+        batch = jnp.broadcast_shapes(
+            x1s.shape[:-2], x2s.shape[:-2], rhs.shape[:-2]
+        )
+        f1 = jnp.broadcast_to(x1s, (*batch, *x1s.shape[-2:])).reshape(
+            -1, *x1s.shape[-2:]
+        )
+        f2 = jnp.broadcast_to(x2s, (*batch, *x2s.shape[-2:])).reshape(
+            -1, *x2s.shape[-2:]
+        )
+        rb = (
+            jnp.broadcast_to(rhs, (*batch, *rhs.shape[-2:]))
+            .reshape(-1, *rhs.shape[-2:])
+            .astype(jnp.float32)
+        )
+        out = jax.vmap(lambda a, b, v: rbf_matvec(a, b, v, tile))(f1, f2, rb)
+        out = out.reshape(*batch, *out.shape[-2:])
     return (os_ * out).astype(rhs.dtype)
 
 
@@ -215,6 +293,7 @@ def rbf_kernel_operator(
     outputscale,
     block_rows: int = 4096,
     use_pallas: bool = False,
+    materialize_threshold: int | None = 2**30,
 ) -> KernelLinearOperator:
     """Convenience constructor for the RBF kernel operator.
 
@@ -231,4 +310,5 @@ def rbf_kernel_operator(
         block_rows=block_rows,
         symmetric=symmetric,
         matvec_impl=rbf_pallas_matvec if use_pallas else None,
+        materialize_threshold=materialize_threshold,
     )

@@ -9,10 +9,12 @@ Kronecker eigendecomposition (reference :152-162): with K_i = Q_i L_i Q_i^T,
     log det(K + cI) = sum log(kron(L_i) + c)
 
 The eigenvector applications are Kronecker sweeps (fast); only the O(N)
-eigenvalue vector is materialized.  For non-constant D, solves fall back to
+eigenvalue vector is materialized.  For Kronecker-structured D (a
+KroneckerProductDiagLinearOperator) the Rakitsch-2013 symmetrized whitening
+solve (reference :164-221) is implemented below (`_solve_structure`, second
+branch).  For unstructured non-constant D, solves fall back to
 preconditioned CG through the (fast) Kronecker mat-vec, like the reference's
-generic path; the Rakitsch-2013 symmetrized Woodbury for Kronecker-structured
-D is future work.
+generic path.
 """
 
 from __future__ import annotations

@@ -38,6 +38,19 @@ class SumLinearOperator(LinearOperator):
             out = out + op._t_matmul(rhs)
         return out
 
+    def _matmul_closure(self):
+        # Compose term closures so per-solve setup (e.g. kernel K-caching)
+        # survives wrapping in K + noise*I etc.
+        closures = [op._matmul_closure() for op in self.operators]
+
+        def mm(rhs: jax.Array) -> jax.Array:
+            out = closures[0](rhs)
+            for c in closures[1:]:
+                out = out + c(rhs)
+            return out
+
+        return mm
+
     def _shape(self) -> tuple[int, ...]:
         batch = broadcast_shapes(*(op.batch_shape for op in self.operators))
         return (*batch, *self.operators[0].matrix_shape)

@@ -62,6 +62,33 @@ class TriangularLinearOperator(LinearOperator):
             dense, rhs, left_side=True, lower=not self.upper
         )
 
+    def solve_triangular(
+        self,
+        rhs: jax.Array,
+        *,
+        upper: bool,
+        left: bool = True,
+        unitriangular: bool = False,
+    ) -> jax.Array:
+        """Validates ``upper`` against the operator's own orientation, like
+        the reference (triangular_linear_operator.py:244-258)."""
+        if upper != self.upper:
+            raise RuntimeError(
+                f"solve_triangular called with upper={upper}, but the "
+                f"operator is {'upper' if self.upper else 'lower'} triangular"
+            )
+        if unitriangular:
+            raise NotImplementedError(
+                "unitriangular=True is not supported (matches reference)"
+            )
+        if not left:
+            return jnp.swapaxes(
+                self._transpose()._solve_structure(jnp.swapaxes(rhs, -1, -2)),
+                -1,
+                -2,
+            )
+        return self._solve_structure(rhs)
+
     def _cholesky_solve(self, rhs: jax.Array) -> jax.Array:
         """Solve (R R^T) x = rhs via two triangular solves, where R = self is
         the (lower or upper) root factor (reference :74-92)."""

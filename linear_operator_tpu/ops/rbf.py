@@ -49,6 +49,26 @@ def _pad_axis(a: jax.Array, axis: int, target: int) -> jax.Array:
     return jnp.pad(a, widths)
 
 
+def _dot_acc3(a: jax.Array, b: jax.Array, dims) -> jax.Array:
+    """f32 dot as 3 explicit bf16 MXU passes: a_hi@b_hi + a_hi@b_lo + a_lo@b_hi.
+
+    Equivalent to ``Precision.HIGH`` (the 3-pass bf16 product CG stability
+    requires — single-pass bf16 injects ~1e-2 mat-vec noise that stalls CG),
+    which mosaic does not lower directly inside Pallas kernels (only DEFAULT
+    and HIGHEST are supported); HIGHEST costs 6 passes for accuracy CG does
+    not need.
+    """
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(x, y):
+        return jax.lax.dot_general(x, y, dims, preferred_element_type=jnp.float32)
+
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
+
+
 def _tile_sq_dist(x1, x2, d: int):
     """Exact-f32 pairwise squared distances inside a tile: unrolled VPU
     broadcast-differences for small d (avoids the MXU's bf16 rounding of
@@ -73,13 +93,9 @@ def _make_matvec_kernel(d: int):
         v = v_ref[:]
         d2 = _tile_sq_dist(x1, x2, d)
         k = jnp.exp(-0.5 * d2)
-        # HIGH precision: single-pass bf16 products inject ~1e-2 mat-vec
-        # noise, stalling CG (see operators/kernel.py)
-        contrib = jax.lax.dot_general(
-            k, v, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGH,
-            preferred_element_type=jnp.float32,
-        )
+        # 3-pass bf16 product (== Precision.HIGH): single-pass bf16 injects
+        # ~1e-2 mat-vec noise, stalling CG (see operators/kernel.py)
+        contrib = _dot_acc3(k, v, (((1,), (0,)), ((), ())))
 
         @pl.when(j == 0)
         def _():
@@ -191,6 +207,170 @@ def _pallas_weighted(x1, x2, g, v, tile: int):
         interpret=_use_interpret(),
     )(x1p, x2p, gp, vp)
     return wx[:n, :d], ws[:n, 0]
+
+
+# ---------------------------------------------------------------------------
+# Symmetric fused mat-vec: y = K v with K = K^T (x1 == x2)
+# ---------------------------------------------------------------------------
+#
+# Exploits symmetry to form each kernel tile ONCE: a 1-D grid enumerates the
+# upper-triangle tile pairs (i, j >= i) via scalar-prefetch index maps, and
+# each tile contributes both K_ij @ v_j (row accumulation, a normal blocked
+# output revisited consecutively within a row) and K_ij^T @ v_i (column
+# accumulation, into a full-width VMEM-resident second output with a constant
+# index map — Pallas only guarantees output-buffer persistence across
+# *consecutive* revisits, so scattered column writes must live in one block).
+#
+# The RHS is carried TRANSPOSED, (t, n): the kernel mat-vec is VPU-exp-bound
+# and t is tiny (GP solves: probes + rhs ~ 11 columns), so padding t to the
+# 128-lane width — as the rectangular kernel must for its (n, t) layout —
+# wastes 10x output/RHS traffic; padding t to the 8-sublane width costs 1.5x.
+# Halving the exp work (the VPU bound) makes this kernel ~2x the rectangular
+# one; see BASELINE.md for measured roofline accounting.
+
+
+def _make_sym_matvec_kernel(d: int, tile: int, mode: str = "acc3"):
+    # Contraction modes (measured on v5e, see BASELINE.md):
+    #   acc3      — 3-pass bf16 split (== Precision.HIGH), f32-exact operator
+    #   bf16v2    — K rounded to bf16 (still exactly symmetric!), v split in
+    #               2 bf16 passes: ~2/3 the MXU passes; operator = bf16(K)
+    #   nodot     — no contraction (rowsum only): VPU exp/dist floor probe
+    def _contract(vt, k, trans_k):
+        dims = (((1,), (1 if trans_k else 0,)), ((), ()))
+        if mode == "acc3":
+            return _dot_acc3(vt, k, dims)
+        if mode == "bf16v2":
+            kh = k.astype(jnp.bfloat16)
+            vh = vt.astype(jnp.bfloat16)
+            vl = (vt - vh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+            def dd(a, b):
+                return jax.lax.dot_general(
+                    a, b, dims, preferred_element_type=jnp.float32
+                )
+
+            return dd(vh, kh) + dd(vl, kh)
+        if mode == "nodot":
+            s = jnp.sum(k, axis=1 if trans_k else 0)
+            return jnp.broadcast_to(s[None, :], (vt.shape[0], s.shape[0]))
+        raise ValueError(mode)
+
+    def _kernel(i_ref, j_ref, x1_ref, x2_ref, vtj_ref, vti_ref, orow_ref, ocol_ref):
+        s = pl.program_id(0)
+        i = i_ref[s]
+        j = j_ref[s]
+        d2 = _tile_sq_dist(x1_ref[:], x2_ref[:], d)
+        k = jnp.exp(-0.5 * d2)  # (tile_i, tile_j)
+        crow = _contract(vtj_ref[:], k, trans_k=True)  # (t, tile_i)
+
+        @pl.when(j == i)
+        def _():
+            orow_ref[:] = crow
+
+        @pl.when(j > i)
+        def _():
+            orow_ref[:] = orow_ref[:] + crow
+
+        @pl.when(s == 0)
+        def _():
+            ocol_ref[:] = jnp.zeros(ocol_ref.shape, ocol_ref.dtype)
+
+        @pl.when(j > i)
+        def _():
+            ccol = _contract(vti_ref[:], k, trans_k=False)  # (t, tile_j)
+            sl = pl.dslice(j * tile, tile)
+            ocol_ref[:, sl] = ocol_ref[:, sl] + ccol
+
+    return _kernel
+
+
+# Column-accumulator VMEM budget: the (t_pad, n_pad) second output must stay
+# resident for the whole grid.
+_SYM_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
+
+
+def sym_matvec_supported(n: int, t: int, batch_ndim: int) -> bool:
+    t_pad = _round_up(max(t, 1), 8)
+    return batch_ndim == 0 and t_pad * _round_up(n, 512) * 4 <= _SYM_VMEM_BUDGET_BYTES
+
+
+def _pallas_matvec_sym(
+    x: jax.Array, v: jax.Array, tile: int, mode: str = "acc3"
+) -> jax.Array:
+    n, d = x.shape
+    t = v.shape[1]
+    nblk = -(-n // tile)
+    npad = nblk * tile
+    dp = _round_up(d, 128)
+    tp = _round_up(t, 8)
+    xp = _pad_axis(_pad_axis(x, 0, npad), 1, dp)
+    vt = _pad_axis(_pad_axis(v.T, 0, tp), 1, npad)  # (tp, npad)
+
+    import numpy as np
+
+    ii, jj = np.triu_indices(nblk)  # row-major: i outer, j inner ascending
+    imap = jnp.asarray(ii, jnp.int32)
+    jmap = jnp.asarray(jj, jnp.int32)
+
+    if pltpu is None or _use_interpret():
+        # CPU/test fallback: same math, dense (the kernel needs real VMEM
+        # semantics; the interpreter supports it but at no speed benefit).
+        k = jnp.exp(-0.5 * _tile_sq_dist(x, x, d))
+        return jnp.dot(k, v, precision=jax.lax.Precision.HIGHEST)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(int(imap.shape[0]),),
+        in_specs=[
+            pl.BlockSpec((tile, dp), lambda s, im, jm: (im[s], 0)),
+            pl.BlockSpec((tile, dp), lambda s, im, jm: (jm[s], 0)),
+            pl.BlockSpec((tp, tile), lambda s, im, jm: (0, jm[s])),
+            pl.BlockSpec((tp, tile), lambda s, im, jm: (0, im[s])),
+        ],
+        out_specs=[
+            pl.BlockSpec((tp, tile), lambda s, im, jm: (0, im[s])),
+            pl.BlockSpec((tp, npad), lambda s, im, jm: (0, 0)),
+        ],
+    )
+    orow, ocol = pl.pallas_call(
+        _make_sym_matvec_kernel(d, tile, mode),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((tp, npad), jnp.float32),
+            jax.ShapeDtypeStruct((tp, npad), jnp.float32),
+        ),
+    )(imap, jmap, xp, xp, vt, vt)
+    return (orow + ocol).T[:n, :t]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def rbf_matvec_sym(x: jax.Array, v: jax.Array, tile: int = 1024):
+    """y = exp(-0.5 ||x_i - x_j||^2) @ v for the SYMMETRIC kernel matrix,
+    forming each tile once (upper triangle only).
+
+    x: (n, d); v: (n, t) -> (n, t), float32.  Use ``sym_matvec_supported``
+    to check the (n, t) column-accumulator VMEM gate first.
+    """
+    return _pallas_matvec_sym(x, v, tile)
+
+
+def _rbf_matvec_sym_fwd(x, v, tile):
+    return _pallas_matvec_sym(x, v, tile), (x, v)
+
+
+def _rbf_matvec_sym_bwd(tile, res, g):
+    x, v = res
+    dv = _pallas_matvec_sym(x, g, tile)  # K^T g = K g
+    # x appears as both arguments of K(x, x): sum both partials (same
+    # weighted-tile passes as the rectangular kernel's backward).
+    wtile = min(tile, 512)
+    wx1, ws1 = _pallas_weighted(x, x, g, v, wtile)
+    wx2, ws2 = _pallas_weighted(x, x, v, g, wtile)
+    dx = (wx1 - ws1[:, None] * x) + (wx2 - ws2[:, None] * x)
+    return dx, dv
+
+
+rbf_matvec_sym.defvjp(_rbf_matvec_sym_fwd, _rbf_matvec_sym_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

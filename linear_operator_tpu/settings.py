@@ -236,9 +236,11 @@ class fast_computations:
 class _linalg_dtype_symeig(_value_context):
     """Internal dtype for small symmetric eigensolves (reference settings.py:186-191).
 
-    On TPU float64 is emulated and slow; default keeps float32 on-device.
-    Tridiagonal matrices from CG/Lanczos are tiny, so promotion is cheap when
-    x64 is enabled (``jax.config.update("jax_enable_x64", True)``).
+    Consulted by ``solvers.lanczos.lanczos_tridiag_to_diag`` (the SLQ/Lanczos
+    tridiagonal eigensolves).  Default float64 matches the reference; without
+    jax x64 enabled the cast is a silent no-op, so TPU runs stay in f32
+    (f64 there is emulated and slow).  The matrices are tiny (quadrature
+    size), so promotion is cheap wherever x64 is on.
     """
 
     _global_value = jnp.float64

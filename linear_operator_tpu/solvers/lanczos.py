@@ -125,7 +125,14 @@ def lanczos_tridiag_to_diag(t_mat: jax.Array) -> tuple[jax.Array, jax.Array]:
     """
     settings.record_linalg("symeig", t_mat.shape)
     dtype = t_mat.dtype
-    evals, evecs = jnp.linalg.eigh(t_mat)
+    # Internal eigensolve dtype (reference settings._linalg_dtype_symeig,
+    # settings.py:186-191, applied at lanczos.py:179-182).  The default is
+    # float64 like the reference; without jax x64 enabled the cast is a
+    # silent no-op, which keeps TPU runs in f32 (f64 there is emulated).
+    eig_dtype = settings._linalg_dtype_symeig.value()
+    if eig_dtype == jnp.float64 and not jax.config.jax_enable_x64:
+        eig_dtype = dtype  # avoid jax's truncation warning; same result
+    evals, evecs = jnp.linalg.eigh(t_mat.astype(eig_dtype))
     mask = evals >= 0
     evals = jnp.where(mask, evals, 0.0)
     evecs = jnp.where(mask[..., None, :], evecs, 0.0)

@@ -42,7 +42,7 @@ class CGState(NamedTuple):
     p: jax.Array  # (*b, n, t) search direction
     rz: jax.Array  # (*b, 1, t) <r, z> inner products
     has_converged: jax.Array  # (*b, 1, t) bool per-column freeze mask
-    mean_resid: jax.Array  # scalar mean relative residual (for stopping)
+    mean_resid: jax.Array  # (*b,) mean relative residual per batch element
     prev_alpha: jax.Array  # (*b, 1, nt) previous step size (tridiag)
     prev_beta: jax.Array  # (*b, 1, nt) previous CG beta (tridiag)
     t_diag: jax.Array  # (tmax, *b, nt) tridiag main diagonal entries
@@ -108,6 +108,10 @@ def linear_cg(
     n_tridiag_iter = min(max_tridiag_iter, max_iter)
     min_iter = min(10, max_iter)
     settings.record_linalg("linear_cg", rhs.shape)
+    # debug-gated NaN input guard (reference utils/linear_cg.py:199-200)
+    from ..utils.warnings import debug_nan_check
+
+    debug_nan_check("linear_cg", rhs)
 
     orig_dtype = rhs.dtype
     compute_dtype = jnp.promote_types(orig_dtype, jnp.float32)
@@ -151,7 +155,7 @@ def linear_cg(
         p=z0,
         rz=rz0,
         has_converged=conv0,
-        mean_resid=jnp.mean(resid0),
+        mean_resid=jnp.mean(resid0, axis=(-2, -1)),
         prev_alpha=prev_ab,
         prev_beta=prev_ab,
         t_diag=t_diag0,
@@ -159,7 +163,11 @@ def linear_cg(
     )
 
     def cond(state: CGState) -> jax.Array:
-        unconverged = (state.mean_resid >= tolerance) | (state.k < min_iter)
+        # Residual reduced over COLUMNS per batch element; the loop runs
+        # while ANY batch element is unconverged (reference
+        # utils/linear_cg.py:277-295 — a single global mean would let one
+        # easy batch element terminate the loop for all of them).
+        unconverged = jnp.any(state.mean_resid >= tolerance) | (state.k < min_iter)
         tridiag_active = (n_tridiag > 0) & (state.k < n_tridiag_iter)
         return (state.k < max_iter) & (unconverged | tridiag_active)
 
@@ -223,7 +231,7 @@ def linear_cg(
             p=p,
             rz=rz_new,
             has_converged=has_converged,
-            mean_resid=jnp.mean(resid),
+            mean_resid=jnp.mean(resid, axis=(-2, -1)),
             prev_alpha=prev_alpha,
             prev_beta=prev_beta,
             t_diag=t_diag,
@@ -232,11 +240,13 @@ def linear_cg(
 
     final = lax.while_loop(cond, body, state0)
 
-    if settings.verbose_linalg.on():
+    from ..utils.warnings import host_callbacks_supported
+
+    if settings.verbose_linalg.on() and host_callbacks_supported():
         # async host-side diagnostic, the analog of the reference's
         # NumericalWarning on non-convergence (linear_cg.py:337-347)
         jax.debug.callback(
-            _report_convergence, final.k, final.mean_resid, tolerance
+            _report_convergence, final.k, jnp.max(final.mean_resid), tolerance
         )
 
     solution = final.x * rhs_norm

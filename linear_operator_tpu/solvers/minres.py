@@ -51,6 +51,10 @@ def minres(
     if max_iter is None:
         max_iter = settings.max_cg_iterations.value()
     settings.record_linalg("minres", rhs.shape)
+    # debug-gated NaN input guard (reference analog: linear_cg.py:199-200)
+    from ..utils.warnings import debug_nan_check
+
+    debug_nan_check("minres", rhs)
 
     squeeze_rhs = rhs.ndim == 1
     if squeeze_rhs:

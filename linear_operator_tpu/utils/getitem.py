@@ -93,38 +93,91 @@ def normalize_getitem_index(op, index):
         result = op._getitem(row_index, col_index, *batch_indices)
         return result
 
-    # At least one matrix dim is killed or fancy-indexed -> dense values.
+    # At least one matrix dim is killed or fancy-indexed.
     shape = op.shape
+    any_batch_array = any(_is_array_index(b) for b in batch_indices)
+    row_is_arr = _is_array_index(row_index)
+    col_is_arr = _is_array_index(col_index)
+
+    # Lazy selection path: exactly one matrix dim indexed by a 1-D array, the
+    # other a slice, basic batch indices.  The reference stays lazy here via
+    # Interpolated selection matrices (_linear_operator.py:303-313); dense
+    # gathers at N=1e5 would be a correctness-of-scale bug.
+    if not any_batch_array and (row_is_arr ^ col_is_arr):
+        arr = jnp.asarray(row_index if row_is_arr else col_index)
+        other = col_index if row_is_arr else row_index
+        if arr.ndim == 1 and isinstance(other, slice):
+            dim_size = shape[-2] if row_is_arr else shape[-1]
+            arr = jnp.where(arr < 0, arr + dim_size, arr)
+            base = op._getitem(
+                slice(None) if row_is_arr else row_index,
+                slice(None) if col_is_arr else col_index,
+                *batch_indices,
+            )
+            return base._select_rows(arr) if row_is_arr else base._select_cols(arr)
+
+    # ---- dense gather paths ---------------------------------------------
     row_arr = _as_index_array(row_index, shape[-2])
     col_arr = _as_index_array(col_index, shape[-1])
-    row_scalar = row_arr.ndim == 0
-    col_scalar = col_arr.ndim == 0
-
-    batch_arrs = []
-    any_batch_array = any(_is_array_index(b) for b in batch_indices)
-    for b, b_size in zip(batch_indices, shape[:-2]):
-        batch_arrs.append(_as_index_array(b, b_size))
+    batch_arrs = [
+        _as_index_array(b, b_size) for b, b_size in zip(batch_indices, shape[:-2])
+    ]
 
     if any_batch_array:
         # Full advanced indexing: broadcast all index arrays jointly
         # (reference _linear_operator.py:2882-2902).
-        arrs = [a for a in batch_arrs + [row_arr, col_arr]]
-        shapes = [a.shape for a in arrs]
-        bshape = np.broadcast_shapes(*shapes)
+        arrs = batch_arrs + [row_arr, col_arr]
+        bshape = np.broadcast_shapes(*[a.shape for a in arrs])
         arrs = [jnp.broadcast_to(a, bshape) for a in arrs]
         return op._get_indices(arrs[-2], arrs[-1], *arrs[:-2])
 
-    # Mixed basic+advanced indexing, advanced block adjacent at the end:
-    # result = (batch slice dims ...) + broadcast(row, col).shape
-    # (numpy semantics; reference _linear_operator.py:2882-2902).
-    adv_shape = np.broadcast_shapes(row_arr.shape, col_arr.shape)
-    row_b = jnp.broadcast_to(row_arr, adv_shape)
-    col_b = jnp.broadcast_to(col_arr, adv_shape)
+    # Basic batch indices: batch slices keep their own leading axes (ints
+    # drop); the ADVANCED matrix indices (arrays and ints) broadcast jointly
+    # into one block, while a slice-derived arange keeps a separate axis at
+    # its own position — numpy/torch basic+advanced semantics (a slice must
+    # NOT broadcast against the index arrays).
+    row_from_slice = isinstance(row_index, slice)
+    col_from_slice = isinstance(col_index, slice)
+    adv_parts = ([] if row_from_slice else [row_arr.shape]) + (
+        [] if col_from_slice else [col_arr.shape]
+    )
+    adv_shape = tuple(np.broadcast_shapes(*adv_parts)) if adv_parts else ()
 
-    slice_dims = [a.shape[0] for a, ix in zip(batch_arrs, batch_indices)
-                  if not isinstance(ix, (int, np.integer))]
-    out_shape = tuple(slice_dims) + tuple(adv_shape)
+    slice_dims = [
+        a.shape[0]
+        for a, ix in zip(batch_arrs, batch_indices)
+        if not isinstance(ix, (int, np.integer))
+    ]
     n_slice = len(slice_dims)
+
+    if row_from_slice and not col_from_slice:
+        out_shape = (*slice_dims, row_arr.shape[0], *adv_shape)
+        row_axes, adv_start = [n_slice], n_slice + 1
+    elif col_from_slice and not row_from_slice:
+        out_shape = (*slice_dims, *adv_shape, col_arr.shape[0])
+        col_axes, adv_start = [len(slice_dims) + len(adv_shape)], n_slice
+    else:  # both matrix dims advanced
+        out_shape = (*slice_dims, *adv_shape)
+        adv_start = n_slice
+    adv_axes = list(range(adv_start, adv_start + len(adv_shape)))
+
+    def place(a: jax.Array, axes) -> jax.Array:
+        """Broadcast ``a`` into out_shape with its dims along ``axes``."""
+        s = [1] * len(out_shape)
+        for ax, size in zip(axes, a.shape):
+            s[ax] = size
+        return jnp.broadcast_to(a.reshape(s), out_shape)
+
+    row_full = (
+        place(row_arr, row_axes)
+        if row_from_slice
+        else place(jnp.broadcast_to(row_arr, adv_shape), adv_axes)
+    )
+    col_full = (
+        place(col_arr, col_axes)
+        if col_from_slice
+        else place(jnp.broadcast_to(col_arr, adv_shape), adv_axes)
+    )
 
     expanded_batch = []
     pos = 0
@@ -132,12 +185,6 @@ def normalize_getitem_index(op, index):
         if isinstance(ix, (int, np.integer)):
             expanded_batch.append(jnp.broadcast_to(a, out_shape))
         else:
-            shape = [1] * len(out_shape)
-            shape[pos] = a.shape[0]
-            expanded_batch.append(jnp.broadcast_to(a.reshape(shape), out_shape))
+            expanded_batch.append(place(a, [pos]))
             pos += 1
-
-    adv_full = (1,) * n_slice + tuple(adv_shape)
-    row_full = jnp.broadcast_to(row_b.reshape(adv_full), out_shape)
-    col_full = jnp.broadcast_to(col_b.reshape(adv_full), out_shape)
     return op._get_indices(row_full, col_full, *expanded_batch)
