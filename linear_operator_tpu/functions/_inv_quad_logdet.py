@@ -177,6 +177,12 @@ def _stochastic_forward(op, rhs, probes):
     else:
         stacked = probes
 
+    # probe-axis sharding (SURVEY.md section 2g): under a mesh with a
+    # "probe" axis, the stacked [probes | rhs] columns distribute across it
+    # (no-op otherwise)
+    from ..parallel import maybe_shard_probes
+
+    stacked = maybe_shard_probes(stacked)
     closure, _, _ = op.detach()._preconditioner()
     result = op._solve_via_cg(stacked, preconditioner=closure, n_tridiag=m)
     solves = result.solution

@@ -25,9 +25,13 @@ from .. import settings
 from ..solvers import lanczos as _lanczos_module
 
 
-def _lanczos_root_impl(op, key, k: int):
+def _lanczos_root_impl(op, key, k: int, init: jax.Array | None = None):
     n = op.shape[-1]
-    init = jax.random.normal(key, (*op.batch_shape, n), dtype=op.dtype)
+    if init is None:
+        init = jax.random.normal(key, (*op.batch_shape, n), dtype=op.dtype)
+    # ``init`` may carry a leading probe dim (p, *b, n): every step of the
+    # Lanczos fori_loop broadcasts through op._matmul, so a probe batch costs
+    # one fused loop (reference lanczos.py:9-164 runs num_init_vecs probes).
     Q, T = _lanczos_module.lanczos_tridiag(op._matmul, k, init_vecs=init)
     kk = T.shape[-1]
     jitter = settings.tridiagonal_jitter.value()
@@ -41,15 +45,15 @@ def _lanczos_root_impl(op, key, k: int):
     return root, inv_root
 
 
-def _lanczos_root(op, key, need_inverse: bool):
+def _lanczos_root(op, key, need_inverse: bool, init: jax.Array | None = None):
     k = min(settings.max_root_decomposition_size.value(), op.shape[-1])
 
     @jax.custom_vjp
     def inner(op):
-        return _lanczos_root_impl(op, key, k)
+        return _lanczos_root_impl(op, key, k, init)
 
     def fwd(op):
-        root, inv_root = _lanczos_root_impl(op, key, k)
+        root, inv_root = _lanczos_root_impl(op, key, k, init)
         return (root, inv_root), (op, root, inv_root)
 
     def bwd(res, cotangents):
@@ -108,16 +112,55 @@ def root_decomposition(op, method: str | None = None, *, key: jax.Array | None =
     raise ValueError(f"unknown root_decomposition method {method!r}")
 
 
+def _postprocess_lanczos_root_inv_decomp(
+    op, inv_roots: jax.Array, test_vectors: jax.Array
+) -> jax.Array:
+    """Pick the best-of-probes inverse root by residual test (reference
+    utils/lanczos.py:192-223).
+
+    inv_roots: (p, *b, n, k) candidate roots of K^{-1};
+    test_vectors: (*b, n, t).  Chooses argmin_p sum ||K R_p R_p^T t - t||.
+    Trace-safe: the selection is a gather, so gradients flow only through
+    the winning probe's root.
+    """
+    solves = inv_roots @ (jnp.swapaxes(inv_roots, -1, -2) @ test_vectors)
+    mat_solves = op._matmul(solves)  # broadcasts over the probe dim
+    resid = jnp.linalg.norm(mat_solves - test_vectors, axis=-2)  # (p, *b, t)
+    resid = jnp.sum(resid.reshape(resid.shape[0], -1), axis=-1)  # (p,)
+    best = jnp.argmin(resid)
+    return jnp.take(inv_roots, best, axis=0)
+
+
 def root_inv_decomposition(
-    op, method: str | None = None, *, key: jax.Array | None = None
+    op,
+    method: str | None = None,
+    *,
+    key: jax.Array | None = None,
+    initial_vectors: jax.Array | None = None,
+    test_vectors: jax.Array | None = None,
 ):
-    """Operator equal to ``op^{-1}`` carrying a root (reference :2220-2307)."""
+    """Operator equal to ``op^{-1}`` carrying a root (reference :2220-2307).
+
+    ``initial_vectors`` (*b, n, p): Lanczos start vectors; with p > 1 every
+    probe is tridiagonalized (one broadcasted loop) and the best inverse
+    root is selected by the ``test_vectors`` residual test (reference
+    :2265-2290 + utils/lanczos.py:192-223).  ``test_vectors`` defaults to
+    ``initial_vectors``.
+    """
     from ..operators._linear_operator import _fallback_key
     from ..operators.dense import DenseLinearOperator
     from ..operators.root import RootLinearOperator
 
     if settings.debug.on() and not op.is_square:
         raise RuntimeError("root_inv_decomposition requires a square operator")
+    if settings.debug.on() and initial_vectors is not None:
+        if initial_vectors.ndim == 1:
+            raise RuntimeError("initial_vectors must be (*b, n, p)")
+        if initial_vectors.shape[-2] != op.shape[-1]:
+            raise RuntimeError(
+                f"initial_vectors shape {initial_vectors.shape} incompatible "
+                f"with operator {op.shape}"
+            )
 
     structural = op._root_inv_structure()
     if structural is not None and method is None:
@@ -136,7 +179,17 @@ def root_inv_decomposition(
             return RootLinearOperator(
                 DenseLinearOperator(evecs * inv_sqrt[..., None, :])
             )
-        _, inv_root = _lanczos_root(op, _fallback_key(key), need_inverse=True)
+        init = None
+        if initial_vectors is not None:
+            init = jnp.moveaxis(initial_vectors, -1, 0)  # (p, *b, n)
+            if init.shape[0] == 1:
+                init = init[0]
+        _, inv_root = _lanczos_root(
+            op, _fallback_key(key), need_inverse=True, init=init
+        )
+        if initial_vectors is not None and initial_vectors.shape[-1] > 1:
+            tv = test_vectors if test_vectors is not None else initial_vectors
+            inv_root = _postprocess_lanczos_root_inv_decomp(op, inv_root, tv)
         return RootLinearOperator(DenseLinearOperator(inv_root))
     raise ValueError(f"unknown root_inv_decomposition method {method!r}")
 

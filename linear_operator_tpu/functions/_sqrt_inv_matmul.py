@@ -36,7 +36,11 @@ def _ciq_apply(op, rhs, key):
 
 
 def sqrt_inv_matmul(op, rhs, lhs=None, *, key=None):
-    """lhs @ K^{-1/2} rhs (reference _linear_operator.py:2422-2466)."""
+    """K^{-1/2} rhs; with ``lhs``, returns the pair
+    (lhs @ K^{-1/2} rhs, row-wise lhs K^{-1} lhs^T) exactly like the
+    reference (_linear_operator.py:2422-2466, functions/_sqrt_inv_matmul.py:
+    18-50 — there the inv_quad term falls out of the CIQ zero-shift solves;
+    here it routes through the standard inv_quad dispatch)."""
     rhs = jnp.asarray(rhs)
     squeeze = rhs.ndim == 1
     if squeeze:
@@ -47,7 +51,11 @@ def sqrt_inv_matmul(op, rhs, lhs=None, *, key=None):
     if squeeze:
         out = out[..., 0]
     if lhs is not None:
-        return jnp.asarray(lhs) @ out
+        from . import inv_quad
+
+        lhs = jnp.asarray(lhs)
+        iq = inv_quad(op, jnp.swapaxes(lhs, -1, -2), reduce_inv_quad=False)
+        return lhs @ out, iq
     return out
 
 

@@ -662,15 +662,24 @@ class LinearOperator:
     def root_inv_decomposition(
         self,
         initial_vectors: jax.Array | None = None,
+        test_vectors: jax.Array | None = None,
         method: str | None = None,
         *,
         key: jax.Array | None = None,
     ) -> "LinearOperator":
         """Operator equal to self^{-1}, carrying a root (reference
-        ``root_inv_decomposition``, :2220-2307)."""
+        ``root_inv_decomposition``, :2220-2307).  With multiple
+        ``initial_vectors`` the best probe is chosen by the ``test_vectors``
+        residual test (reference utils/lanczos.py:192-223)."""
         from ..functions import root_inv_decomposition
 
-        return root_inv_decomposition(self, method=method, key=key)
+        return root_inv_decomposition(
+            self,
+            method=method,
+            key=key,
+            initial_vectors=initial_vectors,
+            test_vectors=test_vectors,
+        )
 
     def diagonalization(
         self, method: str | None = None, *, key: jax.Array | None = None

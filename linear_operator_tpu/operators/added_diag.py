@@ -18,6 +18,46 @@ from .diag import DiagLinearOperator
 from .sum import SumLinearOperator
 
 
+def nystrom_factor(op, rank: int) -> jax.Array:
+    """Nystrom approximation factor L with L L^T ~= K, from uniformly-strided
+    landmark columns: L = K[:, idx] chol(K[idx, idx] + eps I)^{-T}.
+
+    TPU-native alternative to greedy pivoted Cholesky (settings.
+    preconditioner_mode): ONE batched kernel evaluation (O(n k) entries) and
+    a k x k Cholesky — no sequential pivot loop — so high ranks are cheap.
+    The uniform stride is deterministic (probe reproducibility) and adequate
+    for CG preconditioning, where coverage matters more than adaptivity.
+    """
+    import numpy as np
+
+    from ..utils.cholesky import psd_safe_cholesky
+
+    n = op.shape[-1]
+    rank = min(rank, n)
+    idx = jnp.asarray(
+        np.unique(np.linspace(0, n - 1, rank).round().astype(np.int64)), jnp.int32
+    )
+    k = int(idx.shape[0])
+    # Landmark columns through the lazy column-selection operator — one
+    # k-column matmul, matrix-free for kernel/structured ops (a pointwise
+    # _get_indices gather over n*k pairs would lane-pad the gathered points
+    # 42x on TPU).
+    cols = op._select_cols(idx)._matmul(jnp.eye(k, dtype=op.dtype))  # (*b, n, k)
+    kmm = jnp.take_along_axis(
+        cols, jnp.broadcast_to(idx[:, None], (idx.shape[0], idx.shape[0])), axis=-2
+    )  # (*b, k, k)
+    kmm = 0.5 * (kmm + jnp.swapaxes(kmm, -1, -2))
+    eps = 1e-6 * jnp.mean(jnp.diagonal(kmm, axis1=-2, axis2=-1), axis=-1)
+    lmm = psd_safe_cholesky(
+        kmm + eps[..., None, None] * jnp.eye(kmm.shape[-1], dtype=kmm.dtype)
+    )
+    # L = cols @ lmm^{-T}: one triangular solve against cols^T
+    lt = jax.lax.linalg.triangular_solve(
+        lmm, jnp.swapaxes(cols, -1, -2), left_side=True, lower=True
+    )  # (*b, k, n) = lmm^{-1} cols^T
+    return jnp.swapaxes(lt, -1, -2)
+
+
 @operator_class
 class AddedDiagLinearOperator(SumLinearOperator):
     """Constructed as SumLinearOperator((op, diag_op)) (reference :21-60)."""
@@ -74,7 +114,10 @@ class AddedDiagLinearOperator(SumLinearOperator):
         from .root import LowRankRootLinearOperator
         from .dense import DenseLinearOperator
 
-        L = pivoted_cholesky(self._linear_op, rank=k)  # (*b, n, k)
+        if settings.preconditioner_mode.value() == "nystrom":
+            L = nystrom_factor(self._linear_op, rank=k)  # (*b, n, k)
+        else:
+            L = pivoted_cholesky(self._linear_op, rank=k)  # (*b, n, k)
         diag = self._diag_op._diagonal()  # (*b, n)
 
         # NaN bail-out (reference added_diag_linear_operator.py:126-131

@@ -80,51 +80,101 @@ class CatLinearOperator(LinearOperator):
         )
 
     def _diagonal(self) -> jax.Array:
-        # only well-defined per-block for batch concat; rows/cols need gather
         if self.cat_dim not in (-1, -2):
             return jnp.concatenate(
                 [op._diagonal() for op in self.operators], axis=self.cat_dim + 1
             )
-        return super()._diagonal()
+        # Row/col concat: per-block pointwise gathers along the diagonal —
+        # no densification (reference cat_linear_operator.py ``_diagonal``).
+        pieces = []
+        offset = 0
+        for op in self.operators:
+            sz = op.shape[self.cat_dim]
+            local = jnp.arange(sz)
+            if self.cat_dim == -2:
+                rows, cols = local, local + offset
+            else:
+                rows, cols = local + offset, local
+            pieces.append(op._get_indices(rows, cols))
+            offset += sz
+        return jnp.concatenate(pieces, axis=-1)
+
+    def _get_indices(self, row_index, col_index, *batch_indices) -> jax.Array:
+        """Pointwise gather: route each index to its covering block via
+        masked per-block gathers (reference cat_linear_operator.py:~200;
+        trace-safe — no data-dependent control flow)."""
+        if self.cat_dim not in (-1, -2):
+            return super()._get_indices(row_index, col_index, *batch_indices)
+        cat_idx = row_index if self.cat_dim == -2 else col_index
+        cat_idx = jnp.asarray(cat_idx)
+        out = None
+        offset = 0
+        for op in self.operators:
+            sz = op.shape[self.cat_dim]
+            mask = (cat_idx >= offset) & (cat_idx < offset + sz)
+            local = jnp.clip(cat_idx - offset, 0, sz - 1)
+            if self.cat_dim == -2:
+                vals = op._get_indices(local, col_index, *batch_indices)
+            else:
+                vals = op._get_indices(row_index, local, *batch_indices)
+            out = jnp.where(mask, vals, 0.0) if out is None else jnp.where(mask, vals, out)
+            offset += sz
+        return out
 
     def to_dense(self) -> jax.Array:
         return jnp.concatenate(
             [op.to_dense() for op in self.operators], axis=self.cat_dim
         )
 
+    def _split_cat_slice(self, sl: slice):
+        """Per-block local slices covering a (possibly strided) slice along
+        the cat dim (reference slice-splitting index math, :107-135).  Slices
+        are static python objects, so this runs at trace time.  Returns
+        [(block_index, local_slice), ...] in output order, or None when the
+        slice cannot be split (negative step)."""
+        n = self.shape[self.cat_dim]
+        start, stop, step = sl.indices(n)
+        if step <= 0:
+            return None
+        out = []
+        offset = 0
+        for bi, op in enumerate(self.operators):
+            sz = op.shape[self.cat_dim]
+            # smallest t with start + t*step >= offset
+            t_lo = max(0, -(-(offset - start) // step))
+            # smallest t with start + t*step >= min(stop, offset+sz)
+            bound = min(stop, offset + sz)
+            t_hi = max(0, -(-(bound - start) // step))
+            if t_hi > t_lo:
+                lo = start + t_lo * step - offset
+                hi = start + (t_hi - 1) * step - offset + 1
+                out.append((bi, slice(lo, hi, step)))
+            offset += sz
+        return out
+
     def _getitem(self, row_index, col_index, *batch_indices):
-        """Slice-splitting index math (reference :107-135): a contiguous
-        slice along the cat dim is routed to the covered blocks."""
-        if self.cat_dim == -2 and isinstance(row_index, slice) and row_index.step in (None, 1):
-            start, stop, _ = row_index.indices(self.shape[-2])
-            pieces = []
-            offset = 0
-            for op in self.operators:
-                sz = op.shape[-2]
-                lo, hi = max(start - offset, 0), min(stop - offset, sz)
-                if lo < hi:
-                    pieces.append(
-                        op._getitem(slice(lo, hi), col_index, *batch_indices)
-                    )
-                offset += sz
-            if len(pieces) == 1:
-                return pieces[0]
-            return CatLinearOperator(tuple(pieces), cat_dim=-2)
-        if self.cat_dim == -1 and isinstance(col_index, slice) and col_index.step in (None, 1):
-            start, stop, _ = col_index.indices(self.shape[-1])
-            pieces = []
-            offset = 0
-            for op in self.operators:
-                sz = op.shape[-1]
-                lo, hi = max(start - offset, 0), min(stop - offset, sz)
-                if lo < hi:
-                    pieces.append(
-                        op._getitem(row_index, slice(lo, hi), *batch_indices)
-                    )
-                offset += sz
-            if len(pieces) == 1:
-                return pieces[0]
-            return CatLinearOperator(tuple(pieces), cat_dim=-1)
+        """Slice-splitting index math (reference :107-135): a slice along
+        the cat dim is routed to the covered blocks (any positive stride)."""
+        if self.cat_dim == -2 and isinstance(row_index, slice):
+            split = self._split_cat_slice(row_index)
+            if split:
+                pieces = [
+                    self.operators[bi]._getitem(local, col_index, *batch_indices)
+                    for bi, local in split
+                ]
+                if len(pieces) == 1:
+                    return pieces[0]
+                return CatLinearOperator(tuple(pieces), cat_dim=-2)
+        if self.cat_dim == -1 and isinstance(col_index, slice):
+            split = self._split_cat_slice(col_index)
+            if split:
+                pieces = [
+                    self.operators[bi]._getitem(row_index, local, *batch_indices)
+                    for bi, local in split
+                ]
+                if len(pieces) == 1:
+                    return pieces[0]
+                return CatLinearOperator(tuple(pieces), cat_dim=-1)
         return super()._getitem(row_index, col_index, *batch_indices)
 
 

@@ -51,6 +51,11 @@ class KernelLinearOperator(LinearOperator):
     # None disables caching.  The reference materializes the covar block in
     # every ``_matmul`` (kernel_linear_operator.py:379) — here streaming is
     # the fallback, caching the per-solve optimization.
+    matvec_closure_impl: Callable | None = static_field(default=None)
+    # matvec_closure_impl(x1, x2, params, symmetric) -> (closure | None):
+    # a per-SOLVE closure builder (hoisted setup, e.g. building the bf16
+    # upper-triangle tile cache once and streaming it every CG iteration);
+    # returning None falls back to the f32-dense cache / streaming paths.
 
     @property
     def _symmetric_hint(self) -> bool:
@@ -70,13 +75,24 @@ class KernelLinearOperator(LinearOperator):
             symmetric=self.symmetric,
             matvec_impl=self.matvec_impl,
             materialize_threshold=self.materialize_threshold,
+            matvec_closure_impl=self.matvec_closure_impl,
         )
 
     def _matmul_closure(self):
         """Per-solve K caching: materialize the kernel matrix once when it
-        fits ``materialize_threshold`` bytes in f32 (see field docs)."""
+        fits ``materialize_threshold`` bytes in f32 (see field docs).  When
+        a ``matvec_closure_impl`` is registered (e.g. the RBF bf16
+        upper-triangle tile cache for large symmetric kernels), it takes
+        precedence — it self-gates on shape/platform and returns None when
+        not applicable."""
         import math
 
+        if self.matvec_closure_impl is not None:
+            closure = self.matvec_closure_impl(
+                self.x1, self.x2, self.params, self.symmetric
+            )
+            if closure is not None:
+                return closure
         thr = self.materialize_threshold
         if thr is not None and math.prod(self.shape) * 4 <= thr:
             kd = self.to_dense().astype(jnp.float32)
@@ -160,6 +176,7 @@ class KernelLinearOperator(LinearOperator):
             and isinstance(col_index, slice)
             and row_index == col_index,
             materialize_threshold=self.materialize_threshold,
+            matvec_closure_impl=self.matvec_closure_impl,
         )
 
     def _get_indices(self, row_index, col_index, *batch_indices) -> jax.Array:
@@ -285,6 +302,59 @@ def rbf_pallas_matvec(x1, x2, rhs, params, *, symmetric: bool = False, tile: int
     return (os_ * out).astype(rhs.dtype)
 
 
+# HBM budget for the bf16 upper-triangle tile cache (~11 GiB leaves room for
+# solver state on a 16 GiB chip); tiles are (tile, tile) bf16.
+RBF_TILE_CACHE_BUDGET = 11 * 2**30
+_RBF_TILE = 1024
+_RBF_CACHE_MIN_N = 24_576  # below this the f32-dense cache path is better
+
+
+def rbf_pallas_closure(x1, x2, params, symmetric):
+    """Per-solve closure builder for large symmetric RBF kernels: build the
+    bf16 upper-triangle tile cache ONCE (one exp sweep over n^2/2 entries),
+    then every CG/Lanczos iteration streams stored tiles — measured ~1.5x
+    per mat-vec over recomputation on v5e, amortizing ~25 exp sweeps per
+    solve into 1 (ops/rbf.py; BASELINE.md roofline).
+
+    Returns None (-> caller falls back) when: not symmetric/unbatched, n too
+    small, cache exceeds the HBM budget, not on TPU, or running under a mesh
+    (pallas_call does not GSPMD-partition; sharded solves use the XLA path).
+    """
+    from ..ops.rbf import (
+        _round_up,
+        rbf_build_sym_tiles,
+        rbf_matvec_sym_cached,
+        _use_interpret,
+    )
+    from ..parallel.sharding import _current_physical_mesh
+
+    n = x1.shape[-2]
+    if not symmetric or x1.ndim != 2 or n < _RBF_CACHE_MIN_N:
+        return None
+    if _use_interpret() or _current_physical_mesh() is not None:
+        return None
+    nblk = -(-n // _RBF_TILE)
+    cache_bytes = nblk * (nblk + 1) // 2 * _RBF_TILE * _RBF_TILE * 2
+    if cache_bytes > RBF_TILE_CACHE_BUDGET:
+        return None
+
+    ls = params["lengthscale"]
+    os_ = params["outputscale"]
+    xs = jax.lax.stop_gradient((x1 / ls).astype(jnp.float32))
+    tiles = rbf_build_sym_tiles(xs, _RBF_TILE)
+
+    def closure(rhs: jax.Array) -> jax.Array:
+        if rhs.ndim != 2 or _round_up(rhs.shape[-1], 8) > 16:
+            # wide/batched rhs: stream without the cache
+            return rbf_pallas_matvec(x1, x2, rhs, params, symmetric=symmetric)
+        out = rbf_matvec_sym_cached(
+            tiles, rhs.astype(jnp.float32), n, _RBF_TILE, passes=2
+        )
+        return (os_ * out).astype(rhs.dtype)
+
+    return closure
+
+
 def rbf_kernel_operator(
     x1: jax.Array,
     x2: jax.Array | None = None,
@@ -311,4 +381,5 @@ def rbf_kernel_operator(
         symmetric=symmetric,
         matvec_impl=rbf_pallas_matvec if use_pallas else None,
         materialize_threshold=materialize_threshold,
+        matvec_closure_impl=rbf_pallas_closure,
     )

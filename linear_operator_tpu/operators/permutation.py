@@ -33,15 +33,12 @@ class PermutationLinearOperator(LinearOperator):
         return jnp.argsort(self.perm, axis=-1)
 
     def _matmul(self, rhs: jax.Array) -> jax.Array:
-        return jnp.take_along_axis(
-            jnp.broadcast_to(
-                rhs,
-                (*jnp.broadcast_shapes(self.perm.shape[:-1], rhs.shape[:-2]),
-                 *rhs.shape[-2:]),
-            ),
-            self.perm[..., :, None],
-            axis=-2,
+        batch = jnp.broadcast_shapes(self.perm.shape[:-1], rhs.shape[:-2])
+        rhs_b = jnp.broadcast_to(rhs, (*batch, *rhs.shape[-2:]))
+        idx = jnp.broadcast_to(
+            self.perm[..., :, None], (*batch, self.perm.shape[-1], 1)
         )
+        return jnp.take_along_axis(rhs_b, idx, axis=-2)
 
     def _t_matmul(self, rhs: jax.Array) -> jax.Array:
         return self._transpose()._matmul(rhs)

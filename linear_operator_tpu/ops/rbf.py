@@ -343,6 +343,147 @@ def _pallas_matvec_sym(
     return (orow + ocol).T[:n, :t]
 
 
+# ---------------------------------------------------------------------------
+# Cached bf16 upper-triangle tile engine
+# ---------------------------------------------------------------------------
+#
+# For iterative solvers the same K is applied ~25 times per solve; at
+# N=1e5 the f32 matrix (40 GB) cannot be cached, but the bf16 UPPER TRIANGLE
+# (~n^2 bytes: 9.7 GB at tile 1024) fits HBM.  Build the triangle tiles ONCE
+# per solve (one exp sweep), then every mat-vec streams stored tiles at HBM
+# bandwidth instead of recomputing ~1e10 exp() calls: measured ~3x per
+# mat-vec on v5e (see BASELINE.md roofline table).
+#
+# Accuracy: the cached operator is exactly bf16(K) — elementwise rounding of
+# a symmetric matrix is symmetric, and both the row and column contributions
+# of a tile contract the SAME stored block, so CG sees a fixed symmetric PSD
+# perturbation (~4e-3 relative on kernel entries, well under the noise
+# diagonal) rather than per-iteration noise.  The v operand is split into
+# two bf16 passes (v_hi + v_lo), making the product exact in v to ~1e-7.
+
+
+def _make_sym_build_kernel(d: int):
+    def _kernel(i_ref, j_ref, x1_ref, x2_ref, out_ref):
+        d2 = _tile_sq_dist(x1_ref[:], x2_ref[:], d)
+        out_ref[0] = jnp.exp(-0.5 * d2).astype(jnp.bfloat16)
+
+    return _kernel
+
+
+def _triangle_maps(nblk: int):
+    import numpy as np
+
+    ii, jj = np.triu_indices(nblk)  # row-major: i outer, j inner ascending
+    return jnp.asarray(ii, jnp.int32), jnp.asarray(jj, jnp.int32)
+
+
+def rbf_build_sym_tiles(x: jax.Array, tile: int = 1024) -> jax.Array:
+    """Upper-triangle kernel tiles of exp(-0.5||x_i-x_j||^2) as
+    (npairs, tile, tile) bf16, in the row-major triangle order of
+    ``_triangle_maps`` (tile (i,j) with j >= i at linear index s)."""
+    n, d = x.shape
+    nblk = -(-n // tile)
+    npad = nblk * tile
+    dp = _round_up(d, 128)
+    xp = _pad_axis(_pad_axis(x, 0, npad), 1, dp)
+    imap, jmap = _triangle_maps(nblk)
+    npairs = int(imap.shape[0])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(npairs,),
+        in_specs=[
+            pl.BlockSpec((tile, dp), lambda s, im, jm: (im[s], 0)),
+            pl.BlockSpec((tile, dp), lambda s, im, jm: (jm[s], 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile, tile), lambda s, im, jm: (s, 0, 0)),
+    )
+    return pl.pallas_call(
+        _make_sym_build_kernel(d),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((npairs, tile, tile), jnp.bfloat16),
+    )(imap, jmap, xp, xp)
+
+
+def _make_cached_matvec_kernel(tile: int, passes: int):
+    def _contract(vt, k, trans_k):
+        dims = (((1,), (1 if trans_k else 0,)), ((), ()))
+
+        def dd(a, b):
+            return jax.lax.dot_general(
+                a, b, dims, preferred_element_type=jnp.float32
+            )
+
+        vh = vt.astype(jnp.bfloat16)
+        if passes == 1:
+            return dd(vh, k)
+        vl = (vt - vh.astype(jnp.float32)).astype(jnp.bfloat16)
+        return dd(vh, k) + dd(vl, k)
+
+    def _kernel(i_ref, j_ref, k_ref, vtj_ref, vti_ref, orow_ref, ocol_ref):
+        s = pl.program_id(0)
+        i = i_ref[s]
+        j = j_ref[s]
+        k = k_ref[0]  # (tile, tile) bf16
+        crow = _contract(vtj_ref[:], k, trans_k=True)  # (t, tile_i)
+
+        @pl.when(j == i)
+        def _():
+            orow_ref[:] = crow
+
+        @pl.when(j > i)
+        def _():
+            orow_ref[:] = orow_ref[:] + crow
+
+        @pl.when(s == 0)
+        def _():
+            ocol_ref[:] = jnp.zeros(ocol_ref.shape, ocol_ref.dtype)
+
+        @pl.when(j > i)
+        def _():
+            ccol = _contract(vti_ref[:], k, trans_k=False)  # (t, tile_j)
+            sl = pl.dslice(j * tile, tile)
+            ocol_ref[:, sl] = ocol_ref[:, sl] + ccol
+
+    return _kernel
+
+
+def rbf_matvec_sym_cached(
+    tiles: jax.Array, v: jax.Array, n: int, tile: int = 1024, passes: int = 2
+) -> jax.Array:
+    """y = K v from tiles built by ``rbf_build_sym_tiles``; v (n, t) f32."""
+    t = v.shape[1]
+    nblk = -(-n // tile)
+    npad = nblk * tile
+    tp = _round_up(max(t, 1), 8)
+    vt = _pad_axis(_pad_axis(v.T, 0, tp), 1, npad)  # (tp, npad)
+    imap, jmap = _triangle_maps(nblk)
+    npairs = int(imap.shape[0])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(npairs,),
+        in_specs=[
+            pl.BlockSpec((1, tile, tile), lambda s, im, jm: (s, 0, 0)),
+            pl.BlockSpec((tp, tile), lambda s, im, jm: (0, jm[s])),
+            pl.BlockSpec((tp, tile), lambda s, im, jm: (0, im[s])),
+        ],
+        out_specs=[
+            pl.BlockSpec((tp, tile), lambda s, im, jm: (0, im[s])),
+            pl.BlockSpec((tp, npad), lambda s, im, jm: (0, 0)),
+        ],
+    )
+    orow, ocol = pl.pallas_call(
+        _make_cached_matvec_kernel(tile, passes),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((tp, npad), jnp.float32),
+            jax.ShapeDtypeStruct((tp, npad), jnp.float32),
+        ),
+    )(imap, jmap, tiles, vt, vt)
+    return (orow + ocol).T[:n, :t]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def rbf_matvec_sym(x: jax.Array, v: jax.Array, tile: int = 1024):
     """y = exp(-0.5 ||x_i - x_j||^2) @ v for the SYMMETRIC kernel matrix,

@@ -9,13 +9,17 @@ GSPMD when the solvers run under jit with sharded operands.
 
 from .scaling import mll_throughput, scaling_report
 from .sharding import (
+    initialize_distributed,
     make_mesh,
+    maybe_shard_probes,
     shard_gp_batch,
     sharded_train_step,
 )
 
 __all__ = [
+    "initialize_distributed",
     "make_mesh",
+    "maybe_shard_probes",
     "mll_throughput",
     "scaling_report",
     "shard_gp_batch",

@@ -25,21 +25,84 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(
-    n_devices: int | None = None, data: int | None = None, model: int | None = None
+    n_devices: int | None = None,
+    data: int | None = None,
+    model: int | None = None,
+    probe: int | None = None,
 ) -> Mesh:
-    """Build a (data, model) mesh over available devices."""
+    """Build a (data, model[, probe]) mesh over available devices.
+
+    The ``probe`` axis shards the Hutchinson trace-probe dimension of
+    ``inv_quad_logdet`` (SURVEY.md section 2g: the probe dim is
+    embarrassingly parallel — probe averaging becomes a psum).  Omitted ->
+    the classic 2-axis (data, model) mesh.
+    """
     devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
     devices = devices[:n_devices]
+    axes = n_devices
+    if probe is not None:
+        axes //= probe
     if data is None and model is None:
-        data, model = n_devices, 1
+        data, model = axes, 1
     elif data is None:
-        data = n_devices // model
+        data = axes // model
     elif model is None:
-        model = n_devices // data
-    dev_array = np.asarray(devices).reshape(data, model)
-    return Mesh(dev_array, axis_names=("data", "model"))
+        model = axes // data
+    if probe is None:
+        dev_array = np.asarray(devices).reshape(data, model)
+        return Mesh(dev_array, axis_names=("data", "model"))
+    dev_array = np.asarray(devices).reshape(data, model, probe)
+    return Mesh(dev_array, axis_names=("data", "model", "probe"))
+
+
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+    **kwargs,
+) -> None:
+    """Multi-host initialization: one call per host BEFORE any device use,
+    then ``jax.devices()`` spans all hosts and ``make_mesh`` can lay axes
+    over ICI within a host and DCN across hosts.
+
+    Thin wrapper over ``jax.distributed.initialize`` (the reference has no
+    multi-node runtime at all — SURVEY.md section 2g; this is the TPU-native
+    entry point for it).  With TPU pods all arguments are auto-detected from
+    the environment; on CPU/GPU clusters pass coordinator/process counts.
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        **kwargs,
+    )
+
+
+def _current_physical_mesh() -> Mesh | None:
+    try:
+        from jax._src.mesh import thread_resources
+
+        mesh = thread_resources.env.physical_mesh
+        return mesh if mesh.devices.size else None
+    except Exception:  # pragma: no cover
+        return None
+
+
+def maybe_shard_probes(arr: jax.Array) -> jax.Array:
+    """Constrain the trailing (probe/column) dim of a stacked-probes array
+    to the ambient mesh's ``probe`` axis (and its -2 dim, the matrix N, to
+    ``model``).  No-op outside a mesh or without a probe axis — callers can
+    apply it unconditionally (functions/_inv_quad_logdet.py does)."""
+    mesh = _current_physical_mesh()
+    if mesh is None or "probe" not in mesh.axis_names:
+        return arr
+    spec = [None] * arr.ndim
+    spec[-1] = "probe"
+    if "model" in mesh.axis_names and arr.ndim >= 2:
+        spec[-2] = "model"
+    return jax.lax.with_sharding_constraint(arr, NamedSharding(mesh, P(*spec)))
 
 
 def shard_gp_batch(mesh: Mesh, x: jax.Array, y: jax.Array):

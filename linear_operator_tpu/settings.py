@@ -297,6 +297,20 @@ class max_preconditioner_size(_value_context):
     _global_value = 15
 
 
+class preconditioner_mode(_value_context):
+    """CG preconditioner construction for AddedDiag operators.
+
+    "pivoted" (default, reference parity): greedy pivoted Cholesky — rank-k
+    adaptive pivots, but k SEQUENTIAL steps (~1.2 ms/step at N=1e5 on v5e).
+    "nystrom" (TPU-native extension): uniformly-strided Nystrom factor — ONE
+    batched kernel evaluation + a k x k Cholesky, so rank 500-2000 costs
+    milliseconds where pivoted rank 200 costs ~0.25 s; higher affordable
+    rank usually beats pivot adaptivity on CG iteration count.
+    """
+
+    _global_value = "pivoted"
+
+
 class max_root_decomposition_size(_value_context):
     """Lanczos iterations for root decompositions (reference settings.py:428-438)."""
 

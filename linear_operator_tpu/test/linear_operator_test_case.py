@@ -31,15 +31,18 @@ class RectangularLinearOperatorTestCase(BaseTestCase):
     # knobs (reference :511-515)
     should_test_getitem_tensor_index = True
 
-    def setUp(self):
-        super().setUp()
-        # The harness classes themselves are abstract; skip when collected
-        # directly (they are imported into downstream test modules).
-        cls = type(self)
-        if (
-            cls.create_linear_op is RectangularLinearOperatorTestCase.create_linear_op
-        ):
-            self.skipTest("abstract operator test harness")
+    # The harness classes are abstract: pytest must not collect them (they
+    # are imported into every downstream test module).  __init_subclass__
+    # re-enables collection exactly for subclasses that implement
+    # create_linear_op — no skip noise, no boilerplate in test files.
+    __test__ = False
+
+    def __init_subclass__(cls, **kwargs):
+        super().__init_subclass__(**kwargs)
+        cls.__test__ = (
+            cls.create_linear_op
+            is not RectangularLinearOperatorTestCase.create_linear_op
+        )
 
     tolerances = {
         "matmul": {"rtol": 1e-5, "atol": 1e-6},
@@ -50,7 +53,8 @@ class RectangularLinearOperatorTestCase(BaseTestCase):
         "logdet": {"rtol": 2e-1, "atol": 1e-1},
         "logdet_grad": {"rtol": 1e-1, "atol": 2.5e-1},
         "root_decomposition": {"rtol": 5e-2, "atol": 1e-3},
-        "root_inv_decomposition": {"rtol": 5e-2, "atol": 1e-2},
+        "root_inv_decomposition": {"rtol": 2e-2, "atol": 1e-2},
+        "sqrt_inv_matmul": {"rtol": 1e-2, "atol": 1e-2},
         "diagonalization": {"rtol": 5e-2, "atol": 1e-3},
         "sample": {"rtol": 3e-1, "atol": 3e-1},
         "cholesky": {"rtol": 1e-4, "atol": 1e-5},
@@ -300,12 +304,91 @@ class RectangularLinearOperatorTestCase(BaseTestCase):
         res = summed.to_dense() if isinstance(summed, LinearOperator) else summed
         self.assertAllClose(res, jnp.sum(dense, axis=0), **self.tolerances["matmul"])
 
+    def test_prod_batch_dim(self):
+        """Elementwise product over a batch dim (reference ``prod``,
+        :2010-2040 + test :628+)."""
+        op = self.create_linear_op()
+        if not op.batch_shape:
+            return
+        dense = self.evaluate_linear_op(op)
+        prod = op.prod(0)
+        res = prod.to_dense() if isinstance(prod, LinearOperator) else prod
+        self.assertAllClose(res, jnp.prod(dense, axis=0), **self.tolerances["matmul"])
+
+    def test_permute_batch(self):
+        op = self.create_linear_op()
+        if len(op.batch_shape) < 2:
+            return
+        dense = self.evaluate_linear_op(op)
+        nb = len(op.batch_shape)
+        perm = tuple(reversed(range(nb)))
+        res = op.permute(*perm, nb, nb + 1)
+        res = res.to_dense() if isinstance(res, LinearOperator) else res
+        self.assertAllClose(
+            res,
+            jnp.transpose(dense, (*perm, nb, nb + 1)),
+            **self.tolerances["matmul"],
+        )
+
+    def test_getitem_batch_tensor_index(self):
+        """Tensor index on a batch dim with lazy matrix dims (reference
+        linear_operator_test_case.py:153-362 broadcast tensor-index cases)."""
+        op = self.create_linear_op()
+        if not op.batch_shape:
+            return
+        dense = self.evaluate_linear_op(op)
+        idx = jnp.array([0, op.batch_shape[0] - 1])
+        res = op[idx]
+        res = res.to_dense() if isinstance(res, LinearOperator) else res
+        self.assertAllClose(res, dense[idx], **self.tolerances["getitem"])
+
+    def test_getitem_matrix_tensor_row_lazy(self):
+        """1-D tensor index on the row dim stays LAZY and matches dense
+        (reference _linear_operator.py:303-313 Interpolated selection)."""
+        if not self.should_test_getitem_tensor_index:
+            return
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        idx = jnp.array([0, min(2, op.shape[-2] - 1), 1])
+        res = op[..., idx, :]
+        self.assertIsInstance(res, LinearOperator)
+        self.assertAllClose(
+            res.to_dense(), dense[..., idx, :], **self.tolerances["getitem"]
+        )
+        # and through a mat-vec without densifying
+        v = jax.random.normal(
+            self.key, (*op.batch_shape, op.shape[-1], 2), dtype=op.dtype
+        )
+        self.assertAllClose(
+            res @ v, dense[..., idx, :] @ v, **self.tolerances["matmul"]
+        )
+
     def test_detach_astype(self):
         op = self.create_linear_op()
         detached = op.detach()
         self.assertAllClose(detached.to_dense(), op.to_dense(), rtol=0, atol=0)
         f32 = op.astype(jnp.float32)
         self.assertEqual(f32.dtype, jnp.float32)
+
+    def test_dtype_roundtrip(self):
+        """float()/double()/astype round-trips preserve values (reference
+        ``to``/``float``/``double`` tests, :2606-2631)."""
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        f32 = op.float()
+        self.assertEqual(f32.dtype, jnp.float32)
+        back = f32.double() if op.dtype == jnp.float64 else f32.astype(op.dtype)
+        self.assertEqual(back.dtype, op.dtype)
+        self.assertAllClose(
+            back.to_dense().astype(op.dtype),
+            dense.astype(jnp.float32).astype(op.dtype),
+            rtol=1e-6,
+            atol=1e-6,
+        )
+
+    def test_isclose(self):
+        op = self.create_linear_op()
+        self.assertTrue(bool(jnp.all(op.isclose(self.evaluate_linear_op(op)))))
 
 
 class LinearOperatorTestCase(RectangularLinearOperatorTestCase):
@@ -399,7 +482,15 @@ class LinearOperatorTestCase(RectangularLinearOperatorTestCase):
     def test_root_inv_decomposition(self):
         op = self.create_linear_op()
         dense = self.evaluate_linear_op(op)
-        inv_root_op = op.root_inv_decomposition(key=self.key)
+        # multi-probe Lanczos + best-of-probes residual selection (reference
+        # utils/lanczos.py:9-223) — lets the tolerance sit at the
+        # reference's 2e-2 instead of single-probe luck.
+        probes = jax.random.normal(
+            self.key, (*op.batch_shape, op.shape[-1], 3), dtype=op.dtype
+        )
+        inv_root_op = op.root_inv_decomposition(
+            initial_vectors=probes, key=self.key
+        )
         inv_root = inv_root_op.root.to_dense()
         self.assertAllClose(
             inv_root @ jnp.swapaxes(inv_root, -1, -2),
@@ -588,6 +679,116 @@ class LinearOperatorTestCase(RectangularLinearOperatorTestCase):
             iq = op.inv_quad(b, reduce_inv_quad=False)
         iq_true = jnp.sum(jnp.linalg.solve(dense, b) * b, axis=-2)
         self.assertAllClose(iq, iq_true, **self.tolerances["inv_quad"])
+
+    # -- derived operators -------------------------------------------------
+
+    def test_mul_with_operator(self):
+        """Hadamard product with another operator (reference ``mul``,
+        :1881-1917 and MulLinearOperator tests)."""
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        with settings.fast_computations(covar_root_decomposition=False):
+            prod = op.mul(op)
+            res = prod.to_dense() if isinstance(prod, LinearOperator) else prod
+        self.assertAllClose(res, dense * dense, rtol=1e-3, atol=1e-3)
+
+    def test_add_low_rank_with_roots(self):
+        """generate_roots=True returns a ROOTED operator whose root
+        reconstructs K + V V^T (the reference's cache seeding,
+        :1139-1140)."""
+        from ..operators.root import RootLinearOperator
+
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        v = jax.random.normal(
+            self.key, (*op.batch_shape, op.shape[-1], 2), dtype=op.dtype
+        )
+        with settings.fast_computations(covar_root_decomposition=False):
+            updated = op.add_low_rank(v, generate_roots=True)
+        self.assertIsInstance(updated, RootLinearOperator)
+        root = updated.root.to_dense()
+        self.assertAllClose(
+            root @ jnp.swapaxes(root, -1, -2),
+            dense + v @ jnp.swapaxes(v, -1, -2),
+            **self.tolerances["root_decomposition"],
+        )
+
+    def test_cat_rows(self):
+        """Online row/col append (reference ``cat_rows``, :1152-1308):
+        the result equals the dense block matrix, and with generate_roots
+        its root reconstructs it."""
+        from ..operators.root import RootLinearOperator
+
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        m = 2
+        B = jax.random.normal(
+            self.key, (*op.batch_shape, op.shape[-1], m), dtype=op.dtype
+        ) * 0.1
+        with settings.fast_computations(solves=False):
+            KinvB = op.solve(B)
+        C = jnp.swapaxes(B, -1, -2) @ KinvB + jnp.eye(m, dtype=op.dtype)
+        block = jnp.concatenate(
+            [
+                jnp.concatenate([dense, B], axis=-1),
+                jnp.concatenate([jnp.swapaxes(B, -1, -2), C], axis=-1),
+            ],
+            axis=-2,
+        )
+        with settings.fast_computations(covar_root_decomposition=False, solves=False):
+            lazy = op.cat_rows(B, C, generate_roots=False)
+            self.assertAllClose(
+                lazy.to_dense(), block, **self.tolerances["matmul"]
+            )
+            rooted = op.cat_rows(B, C, generate_roots=True)
+        self.assertIsInstance(rooted, RootLinearOperator)
+        root = rooted.root.to_dense()
+        self.assertAllClose(
+            root @ jnp.swapaxes(root, -1, -2),
+            block,
+            **self.tolerances["root_decomposition"],
+        )
+
+    def test_sqrt_inv_matmul(self):
+        """K^{-1/2} rhs via contour-integral quadrature (reference
+        ``sqrt_inv_matmul``, :2422-2466; test :628+)."""
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        rhs = self._rand_rhs(op, ncols=2, batch=op.batch_shape)
+        evals, evecs = jnp.linalg.eigh(dense)
+        inv_sqrt_dense = (evecs / jnp.sqrt(evals)[..., None, :]) @ jnp.swapaxes(
+            evecs, -1, -2
+        )
+        with settings.minres_tolerance(1e-10), settings.num_contour_quadrature(31):
+            res = op.sqrt_inv_matmul(rhs)
+        self.assertAllClose(
+            res, inv_sqrt_dense @ rhs, **self.tolerances["sqrt_inv_matmul"]
+        )
+        lhs = jax.random.normal(
+            self.key, (*op.batch_shape, 2, op.shape[-1]), dtype=op.dtype
+        )
+        with settings.minres_tolerance(1e-10), settings.num_contour_quadrature(31):
+            sqrt_inv, inv_quad = op.sqrt_inv_matmul(rhs, lhs)
+        self.assertAllClose(
+            sqrt_inv, lhs @ inv_sqrt_dense @ rhs, **self.tolerances["sqrt_inv_matmul"]
+        )
+
+    # -- algorithm routing (negative asserts, reference :598-627) ---------
+
+    def test_no_cg_below_cutoff(self):
+        """Below max_cholesky_size (or with fast solves off) CG must NOT
+        run (reference should_call_cg=False asserts)."""
+        op = self.create_linear_op()
+        b = self._rand_rhs(op, ncols=2, batch=op.batch_shape)
+        from ..solvers import linear_cg as cg_fn
+
+        with settings.fast_computations(solves=False, log_prob=False):
+            with mock.patch(
+                "linear_operator_tpu.solvers.linear_cg.linear_cg", wraps=cg_fn
+            ) as cg_mock:
+                op.solve(b)
+                op.inv_quad_logdet(b, logdet=True)
+        self.assertFalse(cg_mock.called, "CG must not run on the Cholesky path")
 
     # -- sampling ---------------------------------------------------------
 

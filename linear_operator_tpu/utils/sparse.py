@@ -21,6 +21,11 @@ def left_interp(indices: jax.Array, values: jax.Array, rhs: jax.Array) -> jax.Ar
     indices/values: (*b, n, k); rhs: (*b, M, t) -> (*b, n, t)
     (reference interpolation.py:9-45: gather-multiply-sum).
     """
+    batch = jnp.broadcast_shapes(
+        indices.shape[:-2], values.shape[:-2], rhs.shape[:-2]
+    )
+    indices = jnp.broadcast_to(indices, (*batch, *indices.shape[-2:]))
+    rhs = jnp.broadcast_to(rhs, (*batch, *rhs.shape[-2:]))
     gathered = jnp.take_along_axis(
         rhs[..., None, :, :],  # (*b, 1, M, t)
         indices[..., :, :, None],  # (*b, n, k, 1)

@@ -39,8 +39,11 @@ def main():
 
     from linear_operator_tpu.ops.rbf import _pallas_matvec_sym
 
+    import sys
+
+    modes = sys.argv[1:] or ["bf16v2"]
     results = {}
-    for mode in ["nodot", "bf16v2", "acc3"]:
+    for mode in modes:
         for tile in [1024, 1536]:
             key = f"sym_{mode}_{tile}"
             results[key] = bench_fn(
@@ -60,7 +63,9 @@ def main():
         )
     )
     ref = float(dense())
-    for mode in ["bf16v2", "acc3"]:
+    for mode in modes:
+        if mode == "nodot":
+            continue
         got = float(jax.jit(lambda m=mode: jnp.sum(_pallas_matvec_sym(xs, vs, 1024, m)))())
         print(f"check {mode}: rel={abs(got-ref)/abs(ref):.2e}", flush=True)
 

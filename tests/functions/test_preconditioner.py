@@ -111,3 +111,43 @@ class TestPreconditioner(BaseTestCase):
         ga = jax.grad(f_lazy)(1.2)
         ge = jax.grad(f_dense)(1.2)
         self.assertAllClose(ga, ge, rtol=0.05, atol=0.2)
+
+
+class TestNystromPreconditioner(BaseTestCase):
+    """settings.preconditioner_mode("nystrom"): one-shot strided Nystrom
+    factor instead of the sequential pivoted-Cholesky loop (TPU-native
+    extension; operators/added_diag.py nystrom_factor)."""
+
+    def test_nystrom_preconditioned_solve(self):
+        n = 300
+        K = _lowrankish_psd(jax.random.PRNGKey(140), n)
+        d = jnp.full((n,), 0.05, dtype=jnp.float64)
+        op = AddedDiagLinearOperator(DenseLinearOperator(K), DiagLinearOperator(d))
+        dense = K + jnp.diag(d)
+        b = jax.random.normal(self.key, (n, 2), dtype=jnp.float64)
+        with settings.preconditioner_mode("nystrom"), \
+             settings.min_preconditioning_size(10), \
+             settings.max_preconditioner_size(40), \
+             settings.max_cholesky_size(0), settings.cg_tolerance(1e-10), \
+             settings.max_cg_iterations(500):
+            x = op.solve(b)
+        self.assertAllClose(x, jnp.linalg.solve(dense, b), rtol=1e-6, atol=1e-6)
+
+    def test_nystrom_closure_quality(self):
+        """With rank >= effective rank, P^{-1} is a near-exact solve."""
+        n = 250
+        K = _lowrankish_psd(jax.random.PRNGKey(141), n, eff_rank=8)
+        d = jnp.full((n,), 0.1, dtype=jnp.float64)
+        op = AddedDiagLinearOperator(DenseLinearOperator(K), DiagLinearOperator(d))
+        with settings.preconditioner_mode("nystrom"), \
+             settings.min_preconditioning_size(10), \
+             settings.max_preconditioner_size(60):
+            closure, _, logdet_p = op._preconditioner()
+        v = jax.random.normal(self.key, (n, 2), dtype=jnp.float64)
+        exact = jnp.linalg.solve(K + jnp.diag(d), v)
+        rel = jnp.linalg.norm(closure(v) - exact) / jnp.linalg.norm(exact)
+        # strided landmarks on an incoherent (rotated) spectrum are a rough
+        # approximation — the preconditioner only needs to be a contraction
+        unprec = jnp.linalg.norm(v - exact) / jnp.linalg.norm(exact)
+        self.assertLess(float(rel), 0.35)
+        self.assertLess(float(rel), float(unprec))

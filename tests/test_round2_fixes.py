@@ -315,6 +315,64 @@ class TestPerBatchCG:
 
 
 # ---------------------------------------------------------------------------
+# Multi-probe Lanczos root_inv_decomposition (VERDICT r1 item 3)
+# ---------------------------------------------------------------------------
+
+
+class TestMultiProbeRootInv:
+    def test_selects_best_probe_by_residual(self):
+        from linear_operator_tpu.functions import root_inv_decomposition
+
+        n, p = 50, 4
+        a = jax.random.normal(jax.random.PRNGKey(0), (n, n), dtype=jnp.float64)
+        mat = a @ a.T + 0.1 * jnp.eye(n, dtype=jnp.float64)
+        op = DenseLinearOperator(mat)
+        probes = jax.random.normal(jax.random.PRNGKey(1), (n, p), dtype=jnp.float64)
+        tv = jax.random.normal(jax.random.PRNGKey(2), (n, 3), dtype=jnp.float64)
+
+        with settings.max_root_decomposition_size(15):
+            multi = root_inv_decomposition(
+                op, method="lanczos", initial_vectors=probes, test_vectors=tv
+            ).root.to_dense()
+            singles, resids = [], []
+            for i in range(p):
+                ri = root_inv_decomposition(
+                    op, method="lanczos", initial_vectors=probes[:, i : i + 1]
+                ).root.to_dense()
+                singles.append(ri)
+                sol = ri @ (ri.T @ tv)
+                resids.append(float(jnp.linalg.norm(mat @ sol - tv)))
+        best = int(np.argmin(resids))
+        np.testing.assert_allclose(
+            np.asarray(multi), np.asarray(singles[best]), rtol=1e-10
+        )
+
+    def test_multi_probe_accuracy(self):
+        """More probes can only help: the selected root's residual is <= the
+        first probe's residual."""
+        from linear_operator_tpu.functions import root_inv_decomposition
+
+        n = 64
+        a = jax.random.normal(jax.random.PRNGKey(3), (n, n), dtype=jnp.float64)
+        mat = a @ a.T + 1.0 * jnp.eye(n, dtype=jnp.float64)
+        op = DenseLinearOperator(mat)
+        probes = jax.random.normal(jax.random.PRNGKey(4), (n, 6), dtype=jnp.float64)
+
+        def resid(r):
+            sol = r @ (r.T @ probes)
+            return float(jnp.linalg.norm(mat @ sol - probes))
+
+        with settings.max_root_decomposition_size(25):
+            multi = root_inv_decomposition(
+                op, method="lanczos", initial_vectors=probes
+            ).root.to_dense()
+            single = root_inv_decomposition(
+                op, method="lanczos", initial_vectors=probes[:, :1]
+            ).root.to_dense()
+        assert resid(multi) <= resid(single) + 1e-9
+
+
+# ---------------------------------------------------------------------------
 # solve_triangular validation
 # ---------------------------------------------------------------------------
 
@@ -416,6 +474,103 @@ class TestKernelMatmulClosure:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(op._matmul(v)), rtol=1e-5, atol=1e-7
         )
+
+
+# ---------------------------------------------------------------------------
+# Cat operator depth (VERDICT r1 item 8)
+# ---------------------------------------------------------------------------
+
+
+class TestCatDepth:
+    def _cat(self, key=0, sizes=(3, 4, 2), m=6, cat_dim=-2):
+        blocks = [
+            jax.random.normal(jax.random.PRNGKey(key + i), (s, m), jnp.float64)
+            for i, s in enumerate(sizes)
+        ]
+        if cat_dim == -1:
+            blocks = [b.T for b in blocks]
+        from linear_operator_tpu.operators import CatLinearOperator
+
+        return (
+            CatLinearOperator(
+                tuple(DenseLinearOperator(b) for b in blocks), cat_dim=cat_dim
+            ),
+            jnp.concatenate(blocks, axis=cat_dim),
+        )
+
+    def test_strided_slice_stays_lazy(self):
+        from linear_operator_tpu.operators import CatLinearOperator
+
+        op, dense = self._cat()
+        for sl in [slice(1, 8, 2), slice(0, 9, 3), slice(2, 9), slice(None, None, 4)]:
+            res = op[sl, :]
+            assert isinstance(res, (CatLinearOperator, DenseLinearOperator))
+            np.testing.assert_allclose(
+                np.asarray(res.to_dense()), np.asarray(dense[sl]), rtol=1e-12
+            )
+
+    def test_col_cat_strided(self):
+        from linear_operator_tpu.operators import CatLinearOperator
+
+        op, dense = self._cat(cat_dim=-1)
+        res = op[:, slice(1, 9, 2)]
+        assert isinstance(res, (CatLinearOperator, DenseLinearOperator))
+        np.testing.assert_allclose(
+            np.asarray(res.to_dense()), np.asarray(dense[:, 1:9:2]), rtol=1e-12
+        )
+
+    def test_get_indices(self):
+        op, dense = self._cat()
+        i = jnp.array([0, 4, 8, 2])
+        j = jnp.array([1, 5, 0, 3])
+        np.testing.assert_allclose(
+            np.asarray(op._get_indices(i, j)),
+            np.asarray(dense[np.asarray(i), np.asarray(j)]),
+            rtol=1e-12,
+        )
+
+    def test_diagonal_row_cat_lazy(self):
+        """Row/col-concat diagonal via per-block gathers, not to_dense."""
+        from unittest import mock
+
+        op, dense = self._cat(sizes=(3, 3), m=6)
+        with mock.patch.object(
+            type(op), "to_dense", side_effect=AssertionError("densified!")
+        ):
+            diag = op._diagonal()
+        np.testing.assert_allclose(
+            np.asarray(diag), np.asarray(jnp.diagonal(dense)), rtol=1e-12
+        )
+
+    def test_sharded_cat_matmul(self):
+        """The reference's multi-GPU CatLinearOperator (output_device block
+        scatter, cat_linear_operator.py:306-350): TPU-native equivalent is
+        sharding each block's leaves over the mesh and jitting the whole
+        matmul — GSPMD inserts the gather."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from linear_operator_tpu.operators import CatLinearOperator
+
+        devices = np.array(jax.devices()[:4])
+        mesh = Mesh(devices, ("blocks",))
+        m = 8
+        blocks = [
+            jax.random.normal(jax.random.PRNGKey(i), (4, m), jnp.float64)
+            for i in range(4)
+        ]
+        # each block replicated per device is the trivial layout; shard each
+        # block's ROWS over the mesh to emulate block-per-device placement
+        sharded = [
+            jax.device_put(b, NamedSharding(mesh, P("blocks", None)))
+            for b in blocks
+        ]
+        op = CatLinearOperator(
+            tuple(DenseLinearOperator(b) for b in sharded), cat_dim=-2
+        )
+        v = jax.random.normal(jax.random.PRNGKey(9), (m, 2), jnp.float64)
+
+        out = jax.jit(lambda o, vv: o @ vv)(op, v)
+        expected = jnp.concatenate(blocks, axis=0) @ v
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expected), rtol=1e-12)
 
 
 # ---------------------------------------------------------------------------
