@@ -62,7 +62,7 @@ class ExactGPRegression:
             symmetric = x2 is None
         if x2 is None:
             x2 = x1
-        from ..operators.kernel import rbf_pallas_closure, rbf_pallas_matvec
+        from ..operators.kernel import rbf_pallas_matvec
 
         return KernelLinearOperator(
             x1,
@@ -76,9 +76,9 @@ class ExactGPRegression:
             symmetric=symmetric,
             matvec_impl=rbf_pallas_matvec if self.use_pallas else None,
             materialize_threshold=self.materialize_threshold,
-            matvec_closure_impl=(
-                rbf_pallas_closure if self.covar_func is rbf_covar else None
-            ),
+            # NOTE: the bf16 tile cache (rbf_pallas_closure) is NOT wired by
+            # default — bf16(K)+D goes indefinite at large N (see the
+            # closure's docstring / BASELINE.md).
         )
 
     def train_operator(self, params: GPParams, x):

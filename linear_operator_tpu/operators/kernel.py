@@ -312,9 +312,16 @@ _RBF_CACHE_MIN_N = 24_576  # below this the f32-dense cache path is better
 def rbf_pallas_closure(x1, x2, params, symmetric):
     """Per-solve closure builder for large symmetric RBF kernels: build the
     bf16 upper-triangle tile cache ONCE (one exp sweep over n^2/2 entries),
-    then every CG/Lanczos iteration streams stored tiles — measured ~1.5x
-    per mat-vec over recomputation on v5e, amortizing ~25 exp sweeps per
-    solve into 1 (ops/rbf.py; BASELINE.md roofline).
+    then every CG/Lanczos iteration streams stored tiles (ops/rbf.py;
+    BASELINE.md roofline).
+
+    NOT WIRED BY DEFAULT — measured negative result at N=1e5 (BASELINE.md):
+    elementwise bf16 rounding of K has spectral norm ~2*2^-9*rms(K)*sqrt(n),
+    which EXCEEDS a typical noise diagonal (~0.13), making bf16(K)+D
+    indefinite — CG diverges.  Streaming at >= f32 fidelity needs 4 B/entry
+    (~20 GB at N=1e5, over HBM), so kernel recomputation is the correct
+    large-N design on this hardware; this cache remains available for
+    regimes with a large noise floor (sigma^2 >> 2^-8 * rms(K) * sqrt(n)).
 
     Returns None (-> caller falls back) when: not symmetric/unbatched, n too
     small, cache exceeds the HBM budget, not on TPU, or running under a mesh
@@ -381,5 +388,4 @@ def rbf_kernel_operator(
         symmetric=symmetric,
         matvec_impl=rbf_pallas_matvec if use_pallas else None,
         materialize_threshold=materialize_threshold,
-        matvec_closure_impl=rbf_pallas_closure,
     )

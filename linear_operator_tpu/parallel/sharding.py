@@ -85,7 +85,9 @@ def _current_physical_mesh() -> Mesh | None:
         from jax._src.mesh import thread_resources
 
         mesh = thread_resources.env.physical_mesh
-        return mesh if mesh.devices.size else None
+        # the empty Mesh() has a 0-d devices array whose .size is 1 — test
+        # for axes, not elements
+        return mesh if mesh.axis_names else None
     except Exception:  # pragma: no cover
         return None
 
