@@ -8,6 +8,7 @@ training step for multi-chip sharding, and a benchmark target.
 
 from .gp import ExactGPRegression, GPParams
 from .multitask import MultitaskGPParams, MultitaskGPRegression
+from .sgpr import SGPRParams, SGPRRegression
 from .ski import GridSpec, SKIGPRegression, SKIParams, make_grid
 
 __all__ = [
@@ -16,6 +17,8 @@ __all__ = [
     "GridSpec",
     "MultitaskGPParams",
     "MultitaskGPRegression",
+    "SGPRParams",
+    "SGPRRegression",
     "SKIGPRegression",
     "SKIParams",
     "make_grid",

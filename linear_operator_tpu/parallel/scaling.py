@@ -59,20 +59,39 @@ def mll_throughput(
     return B / dt  # independent GP systems per second
 
 
-def scaling_report(device_counts: Sequence[int] | None = None, **kwargs) -> dict:
-    """Throughput + efficiency vs the smallest device count."""
+def scaling_report(
+    device_counts: Sequence[int] | None = None,
+    *,
+    model_axis: int = 1,
+    probe_axis: int | None = None,
+    **kwargs,
+) -> dict:
+    """Throughput + efficiency vs the smallest device count.
+
+    ``model_axis`` / ``probe_axis`` split each device count across the
+    matrix-dim and trace-probe mesh axes (SURVEY.md section 2g); the default
+    is pure data parallelism.
+    """
     if device_counts is None:
         n_dev = len(jax.devices())
         device_counts = [c for c in (1, 2, 4, 8) if c <= n_dev]
     results = {}
     base = None
     for c in device_counts:
-        mesh = make_mesh(c, model=1)
+        divisor = model_axis * (probe_axis or 1)
+        if c % divisor:
+            continue
+        mesh = make_mesh(
+            c,
+            model=model_axis,
+            probe=probe_axis if (probe_axis or 1) > 1 else None,
+        )
         thr = mll_throughput(mesh, **kwargs)
         if base is None:
             base = thr / c
         results[c] = {
             "solves_per_s": thr,
             "efficiency": thr / (base * c),
+            "mesh": dict(mesh.shape),
         }
     return results

@@ -98,3 +98,21 @@ class TestScalingHarness(BaseTestCase):
         for c, row in report.items():
             self.assertGreater(row["solves_per_s"], 0)
             self.assertGreater(row["efficiency"], 0)
+
+    def test_scaling_report_3axis(self):
+        from linear_operator_tpu.parallel import scaling_report
+
+        report = scaling_report(
+            device_counts=[4, 8],
+            model_axis=2,
+            probe_axis=2,
+            n=64,
+            num_probes=4,
+            block_rows=64,
+            reps=1,
+        )
+        self.assertEqual(set(report), {4, 8})
+        for c, row in report.items():
+            self.assertGreater(row["solves_per_s"], 0)
+            self.assertEqual(row["mesh"]["model"], 2)
+            self.assertEqual(row["mesh"]["probe"], 2)
