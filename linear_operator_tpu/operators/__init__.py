@@ -16,7 +16,9 @@ from .identity import IdentityLinearOperator
 from .interpolated import InterpolatedLinearOperator, InterpolationMatrix
 from .kernel import (
     KernelLinearOperator,
+    matern32_covar,
     matern52_covar,
+    matern_kernel_operator,
     rbf_covar,
     rbf_kernel_operator,
 )
@@ -84,7 +86,9 @@ __all__ = [
     "TriangularLinearOperator",
     "ZeroLinearOperator",
     "cat",
+    "matern32_covar",
     "matern52_covar",
+    "matern_kernel_operator",
     "rbf_covar",
     "rbf_kernel_operator",
     "to_dense",

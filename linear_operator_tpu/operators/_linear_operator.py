@@ -613,9 +613,11 @@ class LinearOperator:
         reduce_inv_quad: bool = True,
         *,
         key: jax.Array | None = None,
+        factored=None,
     ) -> tuple[jax.Array, jax.Array]:
         """(rhs^T K^{-1} rhs, log|K|) sharing one batched solve (reference
-        ``inv_quad_logdet``, :1688-1804)."""
+        ``inv_quad_logdet``, :1688-1804).  ``factored``: reuse a
+        factorization (see ``with_factorization``)."""
         from ..functions import inv_quad_logdet
 
         return inv_quad_logdet(
@@ -624,6 +626,7 @@ class LinearOperator:
             logdet=logdet,
             reduce_inv_quad=reduce_inv_quad,
             key=key,
+            factored=factored,
         )
 
     def logdet(self, *, key: jax.Array | None = None) -> jax.Array:
@@ -896,16 +899,65 @@ class LinearOperator:
         moved = self._permute_batch(*perm) if perm != list(range(num_batch)) else self
         return SumBatchLinearOperator(moved, block_dim=-3)
 
-    def prod(self, dim: int):
+    def prod(self, dim: int, *, lazy: bool = False):
         """Elementwise product over a batch dim (reference ``prod``,
-        :2010-2040)."""
+        :2010-2040).
+
+        Default: exact dense reduction (valid for any operator).  With
+        ``lazy=True``, the reference's root-based divide-and-conquer
+        (``_prod_batch``) runs instead and the result STAYS a lazy
+        (Khatri-Rao root) operator — only valid for batches of PSD
+        operators, where ``root_decomposition`` is exact."""
         ndim = self.ndim
         dim = dim % ndim
         if dim >= ndim - 2:
             raise RuntimeError("prod over matrix dims is not defined")
+        if lazy:
+            return self._prod_batch(dim)
         from .dense import DenseLinearOperator
 
         return DenseLinearOperator(jnp.prod(self.to_dense(), axis=dim))
+
+    def _prod_batch(self, dim: int) -> "LinearOperator":
+        """Hadamard-reduce a batch dim by divide-and-conquer on root
+        decompositions (reference ``_prod_batch``, :635-688): pairs of
+        roots combine through ``MulLinearOperator``'s row-wise Khatri-Rao.
+        PSD batches only.  Odd counts pad with the exact rank-1 all-ones
+        root (the Hadamard identity; the reference pads an approximate
+        constant-filled root, :655-663)."""
+        from .dense import DenseLinearOperator
+        from .mul import MulLinearOperator
+
+        if self.shape[dim] == 1:
+            return self.squeeze(dim)
+        roots = self.root_decomposition().root.to_dense()
+        num_batch = roots.shape[dim]
+        while True:
+            if num_batch % 2:
+                pad_shape = list(roots.shape)
+                pad_shape[dim] = 1
+                ones_root = jnp.zeros(pad_shape, roots.dtype)
+                # rank-1 ones column (zero columns leave R R^T unchanged)
+                ones_root = ones_root.at[..., 0].set(1.0)
+                roots = jnp.concatenate([roots, ones_root], axis=dim)
+                num_batch += 1
+            half = num_batch // 2
+            idx1 = [slice(None)] * roots.ndim
+            idx1[dim] = slice(None, half)
+            idx2 = [slice(None)] * roots.ndim
+            idx2[dim] = slice(half, None)
+            part1, part2 = roots[tuple(idx1)], roots[tuple(idx2)]
+            if half == 1:
+                part1 = jnp.squeeze(part1, axis=dim)
+                part2 = jnp.squeeze(part2, axis=dim)
+                return MulLinearOperator(
+                    DenseLinearOperator(part1), DenseLinearOperator(part2)
+                )
+            res = MulLinearOperator(
+                DenseLinearOperator(part1), DenseLinearOperator(part2)
+            )
+            roots = res._root_structure().to_dense()
+            num_batch = half
 
     # ------------------------------------------------------------------
     # Indexing

@@ -258,14 +258,60 @@ def matern52_covar(x1, x2, lengthscale, outputscale):
     return outputscale * (1.0 + s5d + 5.0 / 3.0 * d2) * jnp.exp(-s5d)
 
 
-def rbf_pallas_matvec(x1, x2, rhs, params, *, symmetric: bool = False, tile: int = 512):
-    """Fused Pallas RBF mat-vec (ops/rbf.py): prescaling keeps hyperparameter
-    gradients in jnp-land while the tiles never materialize K.
+def matern32_covar(x1, x2, lengthscale, outputscale):
+    d2 = _sq_dist(x1 / lengthscale, x2 / lengthscale)
+    d = jnp.sqrt(d2 + 1e-30)
+    s3d = jnp.sqrt(3.0) * d
+    return outputscale * (1.0 + s3d) * jnp.exp(-s3d)
+
+
+def matern_kernel_operator(
+    x1: jax.Array,
+    x2: jax.Array | None = None,
+    *,
+    lengthscale,
+    outputscale,
+    nu: float = 2.5,
+    block_rows: int = 4096,
+    use_pallas: bool = False,
+    materialize_threshold: int | None = 2**30,
+) -> KernelLinearOperator:
+    """Matern kernel operator (nu in {1.5, 2.5}), same lazy engine as RBF.
+
+    ``use_pallas`` switches the mat-vec to the fused Pallas stationary-kernel
+    tiles (ops/rbf.py), the TPU analog of the reference's KeOps offload for
+    Matern covariances (reference keops_linear_operator.py:14)."""
+    if nu == 2.5:
+        covar, pallas_impl = matern52_covar, matern52_pallas_matvec
+    elif nu == 1.5:
+        covar, pallas_impl = matern32_covar, matern32_pallas_matvec
+    else:
+        raise ValueError(f"nu must be 1.5 or 2.5, got {nu}")
+    symmetric = x2 is None
+    if x2 is None:
+        x2 = x1
+    return KernelLinearOperator(
+        x1,
+        x2,
+        {"lengthscale": jnp.asarray(lengthscale), "outputscale": jnp.asarray(outputscale)},
+        covar_func=covar,
+        block_rows=block_rows,
+        symmetric=symmetric,
+        matvec_impl=pallas_impl if use_pallas else None,
+        materialize_threshold=materialize_threshold,
+    )
+
+
+def _pallas_covar_matvec(
+    covar: str, x1, x2, rhs, params, *, symmetric: bool = False, tile: int = 512
+):
+    """Fused Pallas stationary-kernel mat-vec (ops/rbf.py): prescaling keeps
+    hyperparameter gradients in jnp-land while the tiles never materialize K.
 
     When the operator is symmetric (x1 == x2, unbatched, few columns) the
     symmetric upper-triangle kernel is used — each kernel tile is formed once,
-    halving the VPU exp work that bounds this mat-vec (ops/rbf.py)."""
-    from ..ops.rbf import rbf_matvec, rbf_matvec_sym, sym_matvec_supported
+    halving the VPU transcendental work that bounds this mat-vec."""
+    from ..ops.rbf import kernel_matvec, kernel_matvec_sym, sym_matvec_supported
 
     ls = params["lengthscale"]
     os_ = params["outputscale"]
@@ -277,9 +323,9 @@ def rbf_pallas_matvec(x1, x2, rhs, params, *, symmetric: bool = False, tile: int
         and rhs.ndim == 2
         and sym_matvec_supported(x1.shape[-2], rhs.shape[-1], 0)
     ):
-        out = rbf_matvec_sym(x1s, rhs.astype(jnp.float32), 1024)
+        out = kernel_matvec_sym(x1s, rhs.astype(jnp.float32), 1024, covar)
     elif x1.ndim == 2 and rhs.ndim == 2:
-        out = rbf_matvec(x1s, x2s, rhs.astype(jnp.float32), tile)
+        out = kernel_matvec(x1s, x2s, rhs.astype(jnp.float32), tile, covar)
     else:
         # Batched (possibly rectangular, x1 n-points != x2 m-points):
         # broadcast each argument to the joint batch with its OWN point count.
@@ -297,9 +343,33 @@ def rbf_pallas_matvec(x1, x2, rhs, params, *, symmetric: bool = False, tile: int
             .reshape(-1, *rhs.shape[-2:])
             .astype(jnp.float32)
         )
-        out = jax.vmap(lambda a, b, v: rbf_matvec(a, b, v, tile))(f1, f2, rb)
+        out = jax.vmap(lambda a, b, v: kernel_matvec(a, b, v, tile, covar))(
+            f1, f2, rb
+        )
         out = out.reshape(*batch, *out.shape[-2:])
     return (os_ * out).astype(rhs.dtype)
+
+
+def rbf_pallas_matvec(x1, x2, rhs, params, *, symmetric: bool = False, tile: int = 512):
+    return _pallas_covar_matvec(
+        "rbf", x1, x2, rhs, params, symmetric=symmetric, tile=tile
+    )
+
+
+def matern52_pallas_matvec(
+    x1, x2, rhs, params, *, symmetric: bool = False, tile: int = 512
+):
+    return _pallas_covar_matvec(
+        "matern52", x1, x2, rhs, params, symmetric=symmetric, tile=tile
+    )
+
+
+def matern32_pallas_matvec(
+    x1, x2, rhs, params, *, symmetric: bool = False, tile: int = 512
+):
+    return _pallas_covar_matvec(
+        "matern32", x1, x2, rhs, params, symmetric=symmetric, tile=tile
+    )
 
 
 # HBM budget for the bf16 upper-triangle tile cache (~11 GiB leaves room for

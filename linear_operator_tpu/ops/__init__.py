@@ -6,6 +6,20 @@ contracted immediately — the N x N matrix never reaches HBM, so the mat-vec
 runs at MXU compute speed instead of HBM bandwidth.
 """
 
-from .rbf import rbf_matvec, rbf_matvec_sym, sym_matvec_supported
+from .rbf import (
+    TILE_COVARS,
+    kernel_matvec,
+    kernel_matvec_sym,
+    rbf_matvec,
+    rbf_matvec_sym,
+    sym_matvec_supported,
+)
 
-__all__ = ["rbf_matvec", "rbf_matvec_sym", "sym_matvec_supported"]
+__all__ = [
+    "TILE_COVARS",
+    "kernel_matvec",
+    "kernel_matvec_sym",
+    "rbf_matvec",
+    "rbf_matvec_sym",
+    "sym_matvec_supported",
+]

@@ -85,14 +85,70 @@ def _tile_sq_dist(x1, x2, d: int):
     return jnp.maximum(sq1 + sq2.T - 2.0 * inner, 0.0)
 
 
-def _make_matvec_kernel(d: int):
+# ---------------------------------------------------------------------------
+# Stationary covariance registry: name -> (k(d2), dk/d(d2)) tile functions.
+#
+# The engine is generic over any isotropic kernel k(||x1-x2||^2) evaluated on
+# PRE-SCALED inputs (x / lengthscale): the forward tiles need k(d2) and the
+# x1/x2 backward tiles need k'(d2) (dx1_i = 2 sum_j [G o k'(d2)]_ij (x1_i -
+# x2_j), the chain rule through d2) — this is the TPU analog of KeOps'
+# symbolic formula engine (reference keops_linear_operator.py:14).
+# ---------------------------------------------------------------------------
+
+_SQRT5 = 5.0**0.5
+_SQRT3 = 3.0**0.5
+
+
+def _covar_rbf(d2):
+    return jnp.exp(-0.5 * d2)
+
+
+def _dcovar_rbf(d2):
+    return -0.5 * jnp.exp(-0.5 * d2)
+
+
+def _covar_matern52(d2):
+    d = jnp.sqrt(d2 + 1e-30)
+    sd = _SQRT5 * d
+    return (1.0 + sd + (5.0 / 3.0) * d2) * jnp.exp(-sd)
+
+
+def _dcovar_matern52(d2):
+    # d/d(d2) [(1+sqrt5 d+5/3 d^2) e^{-sqrt5 d}] = -(5/6)(1+sqrt5 d) e^{-sqrt5 d}
+    d = jnp.sqrt(d2 + 1e-30)
+    sd = _SQRT5 * d
+    return -(5.0 / 6.0) * (1.0 + sd) * jnp.exp(-sd)
+
+
+def _covar_matern32(d2):
+    d = jnp.sqrt(d2 + 1e-30)
+    sd = _SQRT3 * d
+    return (1.0 + sd) * jnp.exp(-sd)
+
+
+def _dcovar_matern32(d2):
+    # d/d(d2) [(1+sqrt3 d) e^{-sqrt3 d}] = -(3/2) e^{-sqrt3 d}
+    d = jnp.sqrt(d2 + 1e-30)
+    return -1.5 * jnp.exp(-_SQRT3 * d)
+
+
+TILE_COVARS = {
+    "rbf": (_covar_rbf, _dcovar_rbf),
+    "matern52": (_covar_matern52, _dcovar_matern52),
+    "matern32": (_covar_matern32, _dcovar_matern32),
+}
+
+
+def _make_matvec_kernel(d: int, covar: str = "rbf"):
+    covar_fn = TILE_COVARS[covar][0]
+
     def _matvec_kernel(x1_ref, x2_ref, v_ref, out_ref):
         j = pl.program_id(1)
         x1 = x1_ref[:]
         x2 = x2_ref[:]
         v = v_ref[:]
         d2 = _tile_sq_dist(x1, x2, d)
-        k = jnp.exp(-0.5 * d2)
+        k = covar_fn(d2)
         # 3-pass bf16 product (== Precision.HIGH): single-pass bf16 injects
         # ~1e-2 mat-vec noise, stalling CG (see operators/kernel.py)
         contrib = _dot_acc3(k, v, (((1,), (0,)), ((), ())))
@@ -108,16 +164,21 @@ def _make_matvec_kernel(d: int):
     return _matvec_kernel
 
 
-def _make_weighted_kernel(d: int):
+def _make_weighted_kernel(d: int, covar: str = "rbf"):
+    dcovar_fn = TILE_COVARS[covar][1]
+
     def _weighted_kernel(x1_ref, x2_ref, g_ref, v_ref, wx_ref, ws_ref):
-        """Per (i, j) tile: W = K o (g v^T); accumulate W @ x2, rowsum(W)."""
+        """Per (i, j) tile: W = k'(d2) o (g v^T); accumulate W @ x2, rowsum(W).
+
+        The caller assembles dx1 = 2 (rowsum(W) * x1 - W @ x2) — the chain
+        rule through d2 for ANY stationary covariance."""
         j = pl.program_id(1)
         x1 = x1_ref[:]
         x2 = x2_ref[:]
         g = g_ref[:]
         v = v_ref[:]
         d2 = _tile_sq_dist(x1, x2, d)
-        k = jnp.exp(-0.5 * d2)
+        k = dcovar_fn(d2)
         w = k * jnp.dot(g, v.T, preferred_element_type=jnp.float32)
         wx = jnp.dot(w, x2, preferred_element_type=jnp.float32)
         # lane-width (128) broadcast: the caller reads column 0
@@ -148,7 +209,9 @@ def _use_interpret() -> bool:
     return platform not in ("tpu", "axon")
 
 
-def _pallas_matvec(x1: jax.Array, x2: jax.Array, v: jax.Array, tile: int) -> jax.Array:
+def _pallas_matvec(
+    x1: jax.Array, x2: jax.Array, v: jax.Array, tile: int, covar: str = "rbf"
+) -> jax.Array:
     n, d = x1.shape
     m, t = v.shape[0], v.shape[1]
     np_, mp = _round_up(n, tile), _round_up(m, tile)
@@ -160,7 +223,7 @@ def _pallas_matvec(x1: jax.Array, x2: jax.Array, v: jax.Array, tile: int) -> jax
 
     grid = (np_ // tile, mp // tile)
     out = pl.pallas_call(
-        _make_matvec_kernel(d),
+        _make_matvec_kernel(d, covar),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile, dp), lambda i, j: (i, 0), memory_space=_VMEM),
@@ -174,7 +237,7 @@ def _pallas_matvec(x1: jax.Array, x2: jax.Array, v: jax.Array, tile: int) -> jax
     return out[:n, :t]
 
 
-def _pallas_weighted(x1, x2, g, v, tile: int):
+def _pallas_weighted(x1, x2, g, v, tile: int, covar: str = "rbf"):
     n, d = x1.shape
     m = x2.shape[0]
     t = v.shape[1]
@@ -188,7 +251,7 @@ def _pallas_weighted(x1, x2, g, v, tile: int):
 
     grid = (np_ // tile, mp // tile)
     wx, ws = pl.pallas_call(
-        _make_weighted_kernel(d),
+        _make_weighted_kernel(d, covar),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile, dp), lambda i, j: (i, 0), memory_space=_VMEM),
@@ -229,7 +292,8 @@ def _pallas_weighted(x1, x2, g, v, tile: int):
 # one; see BASELINE.md for measured roofline accounting.
 
 
-def _make_sym_matvec_kernel(d: int, tile: int, mode: str = "acc3"):
+def _make_sym_matvec_kernel(d: int, tile: int, mode: str = "acc3", covar: str = "rbf"):
+    covar_fn = TILE_COVARS[covar][0]
     # Contraction modes (measured on v5e, see BASELINE.md):
     #   acc3      — 3-pass bf16 split (== Precision.HIGH), f32-exact operator
     #   bf16v2    — K rounded to bf16 (still exactly symmetric!), v split in
@@ -260,7 +324,7 @@ def _make_sym_matvec_kernel(d: int, tile: int, mode: str = "acc3"):
         i = i_ref[s]
         j = j_ref[s]
         d2 = _tile_sq_dist(x1_ref[:], x2_ref[:], d)
-        k = jnp.exp(-0.5 * d2)  # (tile_i, tile_j)
+        k = covar_fn(d2)  # (tile_i, tile_j)
         crow = _contract(vtj_ref[:], k, trans_k=True)  # (t, tile_i)
 
         @pl.when(j == i)
@@ -295,7 +359,7 @@ def sym_matvec_supported(n: int, t: int, batch_ndim: int) -> bool:
 
 
 def _pallas_matvec_sym(
-    x: jax.Array, v: jax.Array, tile: int, mode: str = "acc3"
+    x: jax.Array, v: jax.Array, tile: int, mode: str = "acc3", covar: str = "rbf"
 ) -> jax.Array:
     n, d = x.shape
     t = v.shape[1]
@@ -315,7 +379,7 @@ def _pallas_matvec_sym(
     if pltpu is None or _use_interpret():
         # CPU/test fallback: same math, dense (the kernel needs real VMEM
         # semantics; the interpreter supports it but at no speed benefit).
-        k = jnp.exp(-0.5 * _tile_sq_dist(x, x, d))
+        k = TILE_COVARS[covar][0](_tile_sq_dist(x, x, d))
         return jnp.dot(k, v, precision=jax.lax.Precision.HIGHEST)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -333,7 +397,7 @@ def _pallas_matvec_sym(
         ],
     )
     orow, ocol = pl.pallas_call(
-        _make_sym_matvec_kernel(d, tile, mode),
+        _make_sym_matvec_kernel(d, tile, mode, covar),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((tp, npad), jnp.float32),
@@ -362,10 +426,12 @@ def _pallas_matvec_sym(
 # two bf16 passes (v_hi + v_lo), making the product exact in v to ~1e-7.
 
 
-def _make_sym_build_kernel(d: int):
+def _make_sym_build_kernel(d: int, covar: str = "rbf"):
+    covar_fn = TILE_COVARS[covar][0]
+
     def _kernel(i_ref, j_ref, x1_ref, x2_ref, out_ref):
         d2 = _tile_sq_dist(x1_ref[:], x2_ref[:], d)
-        out_ref[0] = jnp.exp(-0.5 * d2).astype(jnp.bfloat16)
+        out_ref[0] = covar_fn(d2).astype(jnp.bfloat16)
 
     return _kernel
 
@@ -377,10 +443,11 @@ def _triangle_maps(nblk: int):
     return jnp.asarray(ii, jnp.int32), jnp.asarray(jj, jnp.int32)
 
 
-def rbf_build_sym_tiles(x: jax.Array, tile: int = 1024) -> jax.Array:
-    """Upper-triangle kernel tiles of exp(-0.5||x_i-x_j||^2) as
-    (npairs, tile, tile) bf16, in the row-major triangle order of
-    ``_triangle_maps`` (tile (i,j) with j >= i at linear index s)."""
+def rbf_build_sym_tiles(x: jax.Array, tile: int = 1024, covar: str = "rbf") -> jax.Array:
+    """Upper-triangle kernel tiles of k(||x_i-x_j||^2) (``covar`` from
+    ``TILE_COVARS``, default RBF) as (npairs, tile, tile) bf16, in the
+    row-major triangle order of ``_triangle_maps`` (tile (i,j) with j >= i at
+    linear index s)."""
     n, d = x.shape
     nblk = -(-n // tile)
     npad = nblk * tile
@@ -399,7 +466,7 @@ def rbf_build_sym_tiles(x: jax.Array, tile: int = 1024) -> jax.Array:
         out_specs=pl.BlockSpec((1, tile, tile), lambda s, im, jm: (s, 0, 0)),
     )
     return pl.pallas_call(
-        _make_sym_build_kernel(d),
+        _make_sym_build_kernel(d, covar),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((npairs, tile, tile), jnp.bfloat16),
     )(imap, jmap, xp, xp)
@@ -484,57 +551,73 @@ def rbf_matvec_sym_cached(
     return (orow + ocol).T[:n, :t]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def rbf_matvec_sym(x: jax.Array, v: jax.Array, tile: int = 1024):
-    """y = exp(-0.5 ||x_i - x_j||^2) @ v for the SYMMETRIC kernel matrix,
-    forming each tile once (upper triangle only).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def kernel_matvec_sym(x: jax.Array, v: jax.Array, tile: int = 1024, covar: str = "rbf"):
+    """y = k(||x_i - x_j||^2) @ v for the SYMMETRIC kernel matrix, forming
+    each tile once (upper triangle only); ``covar`` names a ``TILE_COVARS``
+    entry (inputs pre-scaled by lengthscale).
 
     x: (n, d); v: (n, t) -> (n, t), float32.  Use ``sym_matvec_supported``
     to check the (n, t) column-accumulator VMEM gate first.
     """
-    return _pallas_matvec_sym(x, v, tile)
+    return _pallas_matvec_sym(x, v, tile, covar=covar)
 
 
-def _rbf_matvec_sym_fwd(x, v, tile):
-    return _pallas_matvec_sym(x, v, tile), (x, v)
+def _kernel_matvec_sym_fwd(x, v, tile, covar):
+    return _pallas_matvec_sym(x, v, tile, covar=covar), (x, v)
 
 
-def _rbf_matvec_sym_bwd(tile, res, g):
+def _kernel_matvec_sym_bwd(tile, covar, res, g):
     x, v = res
-    dv = _pallas_matvec_sym(x, g, tile)  # K^T g = K g
+    dv = _pallas_matvec_sym(x, g, tile, covar=covar)  # K^T g = K g
     # x appears as both arguments of K(x, x): sum both partials (same
     # weighted-tile passes as the rectangular kernel's backward).
+    # dx_i = 2 sum_j [k'(d2) o (g v^T)]_ij (x_i - x_j)  (chain rule via d2)
     wtile = min(tile, 512)
-    wx1, ws1 = _pallas_weighted(x, x, g, v, wtile)
-    wx2, ws2 = _pallas_weighted(x, x, v, g, wtile)
-    dx = (wx1 - ws1[:, None] * x) + (wx2 - ws2[:, None] * x)
+    wx1, ws1 = _pallas_weighted(x, x, g, v, wtile, covar)
+    wx2, ws2 = _pallas_weighted(x, x, v, g, wtile, covar)
+    dx = 2.0 * ((ws1[:, None] * x - wx1) + (ws2[:, None] * x - wx2))
     return dx, dv
 
 
-rbf_matvec_sym.defvjp(_rbf_matvec_sym_fwd, _rbf_matvec_sym_bwd)
+kernel_matvec_sym.defvjp(_kernel_matvec_sym_fwd, _kernel_matvec_sym_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def rbf_matvec(x1: jax.Array, x2: jax.Array, v: jax.Array, tile: int = 512):
-    """y = exp(-0.5 ||x1_i - x2_j||^2) @ v, fused (never materializes K).
+def rbf_matvec_sym(x: jax.Array, v: jax.Array, tile: int = 1024):
+    """RBF alias of :func:`kernel_matvec_sym`."""
+    return kernel_matvec_sym(x, v, tile, "rbf")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def kernel_matvec(
+    x1: jax.Array, x2: jax.Array, v: jax.Array, tile: int = 512, covar: str = "rbf"
+):
+    """y = k(||x1_i - x2_j||^2) @ v, fused (never materializes K); ``covar``
+    names a ``TILE_COVARS`` entry (inputs pre-scaled by lengthscale).
 
     x1: (n, d); x2: (m, d); v: (m, t) -> (n, t), float32.
     """
-    return _pallas_matvec(x1, x2, v, tile)
+    return _pallas_matvec(x1, x2, v, tile, covar)
 
 
-def _rbf_matvec_fwd(x1, x2, v, tile):
-    return _pallas_matvec(x1, x2, v, tile), (x1, x2, v)
+def _kernel_matvec_fwd(x1, x2, v, tile, covar):
+    return _pallas_matvec(x1, x2, v, tile, covar), (x1, x2, v)
 
 
-def _rbf_matvec_bwd(tile, res, g):
+def _kernel_matvec_bwd(tile, covar, res, g):
     x1, x2, v = res
-    dv = _pallas_matvec(x2, x1, g, tile)  # K^T g
-    wx1, ws1 = _pallas_weighted(x1, x2, g, v, tile)  # W @ x2, rowsum(W)
-    dx1 = wx1 - ws1[:, None] * x1
-    wx2, ws2 = _pallas_weighted(x2, x1, v, g, tile)  # W^T @ x1, colsum(W)
-    dx2 = wx2 - ws2[:, None] * x2
+    dv = _pallas_matvec(x2, x1, g, tile, covar)  # K^T g
+    # dx1_i = 2 sum_j W_ij (x1_i - x2_j),  W = k'(d2) o (g v^T)
+    wx1, ws1 = _pallas_weighted(x1, x2, g, v, tile, covar)  # W @ x2, rowsum(W)
+    dx1 = 2.0 * (ws1[:, None] * x1 - wx1)
+    wx2, ws2 = _pallas_weighted(x2, x1, v, g, tile, covar)  # W^T @ x1, colsum(W)
+    dx2 = 2.0 * (ws2[:, None] * x2 - wx2)
     return dx1, dx2, dv
 
 
-rbf_matvec.defvjp(_rbf_matvec_fwd, _rbf_matvec_bwd)
+kernel_matvec.defvjp(_kernel_matvec_fwd, _kernel_matvec_bwd)
+
+
+def rbf_matvec(x1: jax.Array, x2: jax.Array, v: jax.Array, tile: int = 512):
+    """RBF alias of :func:`kernel_matvec`."""
+    return kernel_matvec(x1, x2, v, tile, "rbf")

@@ -773,6 +773,39 @@ class LinearOperatorTestCase(RectangularLinearOperatorTestCase):
             sqrt_inv, lhs @ inv_sqrt_dense @ rhs, **self.tolerances["sqrt_inv_matmul"]
         )
 
+    def test_prod_lazy(self):
+        """Root-based divide-and-conquer prod (reference ``_prod_batch``,
+        :635-688) stays lazy and matches the dense product for PSD batches."""
+        op = self.create_linear_op()
+        if not op.batch_shape:
+            return
+        dense = self.evaluate_linear_op(op)
+        res = op.prod(0, lazy=True)
+        self.assertIsInstance(res, LinearOperator)
+        self.assertAllClose(
+            res.to_dense(), jnp.prod(dense, axis=0), **self.tolerances["root_decomposition"]
+        )
+
+    def test_factored_reuse(self):
+        """solve/inv_quad_logdet with ``factored=`` (the functional memoize
+        cache, utils/memoize.py analog) match the dense ground truth."""
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        b = self._rand_rhs(op, ncols=2, batch=op.batch_shape)
+        with settings.fast_computations(solves=False, log_prob=False):
+            f = op.cholesky()
+            x = op.solve(b, factored=f)
+            iq, ld = op.inv_quad_logdet(b, logdet=True, factored=f)
+        self.assertAllClose(
+            x, jnp.linalg.solve(dense, b), **self.tolerances["solve"]
+        )
+        self.assertAllClose(
+            iq,
+            jnp.sum(jnp.linalg.solve(dense, b) * b, axis=(-2, -1)),
+            **self.tolerances["inv_quad"],
+        )
+        self.assertAllClose(ld, jnp.linalg.slogdet(dense)[1], rtol=1e-3, atol=1e-3)
+
     # -- algorithm routing (negative asserts, reference :598-627) ---------
 
     def test_no_cg_below_cutoff(self):

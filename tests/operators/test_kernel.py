@@ -188,3 +188,88 @@ class TestPallasRBFMatvec(BaseTestCase):
         ga = jax.grad(lambda ls: f(ls, True))(jnp.float32(0.8))
         ge = jax.grad(lambda ls: f(ls, False))(jnp.float32(0.8))
         self.assertAllClose(ga, ge, rtol=1e-2, atol=1e-2)
+
+
+class TestPallasStationaryCovars(BaseTestCase):
+    """Generalized Pallas tile engine (ops/rbf.py TILE_COVARS): Matern 3/2 and
+    5/2 forward/backward vs the dense covar path — the TPU analog of KeOps'
+    symbolic Matern formulas (reference keops_linear_operator.py:14)."""
+
+    def _ops(self, nu, x, x2=None):
+        from linear_operator_tpu.operators.kernel import matern_kernel_operator
+
+        kw = dict(lengthscale=jnp.float32(0.8), outputscale=jnp.float32(1.3), nu=nu)
+        return (
+            matern_kernel_operator(x, x2, **kw),
+            matern_kernel_operator(x, x2, use_pallas=True, **kw),
+        )
+
+    def test_symmetric_matches_dense(self):
+        for nu in (1.5, 2.5):
+            x = jax.random.normal(jax.random.PRNGKey(160), (40, 3), dtype=jnp.float32)
+            op_ref, op_pl = self._ops(nu, x)
+            rhs = jax.random.normal(self.key, (40, 2), dtype=jnp.float32)
+            self.assertAllClose(op_pl @ rhs, op_ref @ rhs, rtol=1e-4, atol=1e-4)
+
+    def test_rectangular_matches_dense(self):
+        for nu in (1.5, 2.5):
+            x = jax.random.normal(jax.random.PRNGKey(161), (30, 3), dtype=jnp.float32)
+            x2 = jax.random.normal(jax.random.PRNGKey(162), (17, 3), dtype=jnp.float32)
+            op_ref, op_pl = self._ops(nu, x, x2)
+            rhs = jax.random.normal(self.key, (17, 2), dtype=jnp.float32)
+            self.assertAllClose(op_pl @ rhs, op_ref @ rhs, rtol=1e-4, atol=1e-4)
+
+    def test_batched_matches_dense(self):
+        x = jax.random.normal(jax.random.PRNGKey(163), (2, 14, 3), dtype=jnp.float32)
+        x2 = jax.random.normal(jax.random.PRNGKey(164), (2, 9, 3), dtype=jnp.float32)
+        op_ref, op_pl = self._ops(2.5, x, x2)
+        rhs = jax.random.normal(self.key, (2, 9, 2), dtype=jnp.float32)
+        self.assertAllClose(op_pl @ rhs, op_ref @ rhs, rtol=1e-4, atol=1e-4)
+
+    def test_gradients_match(self):
+        """Custom-VJP input/hyperparameter grads vs native AD of the dense
+        path (exercises the k'(d2) weighted tiles)."""
+        from linear_operator_tpu.operators.kernel import matern_kernel_operator
+
+        for nu in (1.5, 2.5):
+            x0 = jax.random.normal(jax.random.PRNGKey(165), (18, 2), dtype=jnp.float32)
+            rhs = jax.random.normal(self.key, (18, 1), dtype=jnp.float32)
+
+            def f(x, ls, use_pallas, nu=nu):
+                op = matern_kernel_operator(
+                    x, lengthscale=ls, outputscale=jnp.float32(1.0),
+                    nu=nu, use_pallas=use_pallas,
+                )
+                return jnp.sum((op @ rhs) ** 2)
+
+            (gx_p, gl_p) = jax.grad(lambda x, l: f(x, l, True), argnums=(0, 1))(
+                x0, jnp.float32(0.8)
+            )
+            (gx_e, gl_e) = jax.grad(lambda x, l: f(x, l, False), argnums=(0, 1))(
+                x0, jnp.float32(0.8)
+            )
+            self.assertAllClose(gx_p, gx_e, rtol=1e-2, atol=1e-2)
+            self.assertAllClose(gl_p, gl_e, rtol=1e-2, atol=1e-2)
+
+    def test_rbf_backward_unchanged(self):
+        """The generalized k'(d2) backward reproduces the RBF-specific one."""
+        from linear_operator_tpu.ops.rbf import kernel_matvec
+
+        x1 = jax.random.normal(jax.random.PRNGKey(166), (12, 2), dtype=jnp.float32)
+        x2 = jax.random.normal(jax.random.PRNGKey(167), (9, 2), dtype=jnp.float32)
+        v = jax.random.normal(self.key, (9, 1), dtype=jnp.float32)
+
+        def dense(x1, x2, v):
+            d2 = jnp.sum((x1[:, None, :] - x2[None, :, :]) ** 2, axis=-1)
+            return jnp.exp(-0.5 * d2) @ v
+
+        g1, g2, gv = jax.grad(
+            lambda a, b, c: jnp.sum(kernel_matvec(a, b, c, 512, "rbf") ** 2),
+            argnums=(0, 1, 2),
+        )(x1, x2, v)
+        e1, e2, ev = jax.grad(
+            lambda a, b, c: jnp.sum(dense(a, b, c) ** 2), argnums=(0, 1, 2)
+        )(x1, x2, v)
+        self.assertAllClose(g1, e1, rtol=1e-3, atol=1e-4)
+        self.assertAllClose(g2, e2, rtol=1e-3, atol=1e-4)
+        self.assertAllClose(gv, ev, rtol=1e-3, atol=1e-4)
