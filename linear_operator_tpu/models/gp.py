@@ -108,3 +108,24 @@ class ExactGPRegression:
         k_ss_diag = self.covariance(params, x_star).diagonal()
         var = k_ss_diag - jnp.einsum("...mn,...nm->...m", k_star.to_dense(), v)
         return mean, jnp.maximum(var, 0.0)
+
+    def posterior_distribution(self, params: GPParams, x, y, x_star, *, key=None):
+        """Full joint predictive as a lazy-covariance ``MultivariateNormal``
+        (GPyTorch's ``model(x_star)`` workflow): covariance = K_ss - K_s*
+        K^{-1} K_*s, kept as a lazy Sum of the prior operator and a
+        downdate root — never densified at x_star scale."""
+        from ..distributions import MultivariateNormal
+        from ..operators import ConstantMulLinearOperator, RootLinearOperator
+
+        K = self.train_operator(params, x)
+        k_star = self.covariance(params, x_star, x)  # (*b, m, n)
+        alpha = solve(K, y[..., None])
+        mean = (k_star @ alpha)[..., 0]
+        k_ss = self.covariance(params, x_star)
+        # downdate root: K_s* R with R an inverse root of K -> cov = K_ss - V V^T
+        r_inv = K.root_inv_decomposition(key=key).root.to_dense()  # (*b, n, k)
+        v = k_star @ r_inv  # (*b, m, k)
+        downdate = ConstantMulLinearOperator(
+            RootLinearOperator(v), jnp.asarray(-1.0, dtype=v.dtype)
+        )
+        return MultivariateNormal(mean, (k_ss + downdate).add_jitter(1e-6))

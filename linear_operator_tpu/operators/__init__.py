@@ -6,7 +6,11 @@ Reference: linear_operator/operators/__init__.py.
 from ._linear_operator import LinearOperator, to_dense, to_linear_operator
 from .added_diag import AddedDiagLinearOperator
 from .batch_repeat import BatchRepeatLinearOperator
-from .block import BlockDiagLinearOperator, BlockInterleavedLinearOperator
+from .block import (
+    BlockDiagLinearOperator,
+    BlockInterleavedLinearOperator,
+    BlockLinearOperator,
+)
 from .cat import CatLinearOperator, cat
 from .chol import CholLinearOperator
 from .constant_mul import ConstantMulLinearOperator
@@ -16,11 +20,16 @@ from .identity import IdentityLinearOperator
 from .interpolated import InterpolatedLinearOperator, InterpolationMatrix
 from .kernel import (
     KernelLinearOperator,
+    matern12_covar,
     matern32_covar,
     matern52_covar,
     matern_kernel_operator,
+    periodic_covar,
+    periodic_kernel_operator,
     rbf_covar,
     rbf_kernel_operator,
+    rq_covar,
+    rq_kernel_operator,
 )
 from .kronecker import (
     KroneckerProductDiagLinearOperator,
@@ -53,6 +62,7 @@ __all__ = [
     "AddedDiagLinearOperator",
     "BatchRepeatLinearOperator",
     "BlockDiagLinearOperator",
+    "BlockLinearOperator",
     "BlockInterleavedLinearOperator",
     "CatLinearOperator",
     "CholLinearOperator",
@@ -89,6 +99,14 @@ __all__ = [
     "matern32_covar",
     "matern52_covar",
     "matern_kernel_operator",
+    "matern12_covar",
+    "matern32_covar",
+    "matern52_covar",
+    "periodic_covar",
+    "periodic_kernel_operator",
+    "rbf_covar",
+    "rq_covar",
+    "rq_kernel_operator",
     "rbf_covar",
     "rbf_kernel_operator",
     "to_dense",

@@ -103,6 +103,26 @@ class LinearOperator:
     def size(self, dim: int | None = None):
         return self.shape if dim is None else self.shape[dim]
 
+    def dim(self) -> int:
+        """Alias of ``ndim`` (reference ``dim``/``ndimension``, :1389-1400)."""
+        return self.ndim
+
+    def ndimension(self) -> int:
+        """Alias of ``ndim`` (reference ``ndimension``, :1966-1970)."""
+        return self.ndim
+
+    @property
+    def batch_dim(self) -> int:
+        """Number of batch dimensions (reference ``batch_dim``, :1346-1350)."""
+        return len(self.batch_shape)
+
+    def numel(self) -> int:
+        """Number of elements of the dense equivalent (reference ``numel``,
+        :1972-1976)."""
+        import math
+
+        return math.prod(self.shape)
+
     @property
     def is_square(self) -> bool:
         return self.shape[-1] == self.shape[-2]
@@ -364,7 +384,9 @@ class LinearOperator:
         if isinstance(other, DiagLinearOperator):
             return AddedDiagLinearOperator(self, other)
         if isinstance(other, RootLinearOperator):
-            return self.add_low_rank(other.root.to_dense())
+            # pass the root operator itself (reference :2816-2817) — lazily,
+            # so a structured (even full-rank) root keeps its fast mat-vec
+            return self.add_low_rank(other.root)
         if isinstance(other, LinearOperator):
             return SumLinearOperator((self, other))
         other = jnp.asarray(other)
@@ -384,6 +406,70 @@ class LinearOperator:
 
     def __neg__(self):
         return self * -1
+
+    def add(self, other, alpha: float | None = None) -> "LinearOperator":
+        """``self + alpha * other`` (reference ``add``, :999-1017)."""
+        if alpha is None:
+            return self + other
+        return self + other * alpha
+
+    def sub(self, other, alpha: float | None = None) -> "LinearOperator":
+        """``self - alpha * other`` (torch API counterpart of :meth:`add`)."""
+        if alpha is None:
+            return self - other
+        return self - other * alpha
+
+    def div(self, other) -> "LinearOperator":
+        """``self * (1 / other)`` (reference ``div``, :1402-1418)."""
+        from .zero import ZeroLinearOperator
+
+        if isinstance(other, ZeroLinearOperator):
+            raise RuntimeError("Attempted to divide by a ZeroLinearOperator")
+        return self.mul(1.0 / jnp.asarray(other))
+
+    def t(self) -> "LinearOperator":
+        """2-D transpose alias (reference ``t``, :2485-2494)."""
+        if self.ndim != 2:
+            raise RuntimeError("Cannot call t for more than 2 dimensions")
+        return self._transpose()
+
+    def evaluate_kernel(self) -> "LinearOperator":
+        """Reference ``evaluate_kernel`` (:1430-1436) rebuilds the operator
+        from its representation so lazily-evaluated kernel wrappers
+        materialize their covar blocks; here operators ARE their pytrees, so
+        a rebuilt operator is this operator."""
+        leaves, treedef = jax.tree_util.tree_flatten(self)
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    # Elementwise spectrum/entry functions: only structure-aware subclasses
+    # (e.g. Diag) implement these, matching the reference's base-class
+    # contract (reference abs/exp/log/sqrt/inverse, :981-997, :1420-1428,
+    # :1860-1879, :2450-2466, :1692-1703).
+    def abs(self) -> "LinearOperator":
+        raise NotImplementedError(
+            f"abs({type(self).__name__}) is not implemented."
+        )
+
+    def exp(self) -> "LinearOperator":
+        raise NotImplementedError(
+            f"exp({type(self).__name__}) is not implemented."
+        )
+
+    def log(self) -> "LinearOperator":
+        raise NotImplementedError(
+            f"log({type(self).__name__}) is not implemented."
+        )
+
+    def sqrt(self) -> "LinearOperator":
+        raise NotImplementedError(
+            f"sqrt({type(self).__name__}) is not implemented."
+        )
+
+    def inverse(self) -> "LinearOperator":
+        raise NotImplementedError(
+            f"inverse({type(self).__name__}) is not implemented; "
+            "use solve(rhs) for matrix-free application of the inverse."
+        )
 
     def mul(self, other):
         """Elementwise multiply (reference ``mul``, :1881-1917)."""
@@ -457,18 +543,22 @@ class LinearOperator:
         from .dense import DenseLinearOperator
         from .sum import SumLinearOperator
 
-        v = jnp.asarray(low_rank_mat, dtype=self.dtype)
-        if v.ndim == 1:
-            v = v[:, None]
+        if isinstance(low_rank_mat, LinearOperator):
+            # keep a structured root lazy (a full-rank Toeplitz/structured
+            # root must NOT densify — its mat-vec carries the structure)
+            v_op = low_rank_mat
+        else:
+            v = jnp.asarray(low_rank_mat, dtype=self.dtype)
+            if v.ndim == 1:
+                v = v[:, None]
+            v_op = DenseLinearOperator(v)
         if generate_roots:
             root = self._root_structure()
             if root is None:
                 root = self.root_decomposition().root
-            joined = jnp.concatenate([root.to_dense(), v], axis=-1)
+            joined = jnp.concatenate([root.to_dense(), v_op.to_dense()], axis=-1)
             return RootLinearOperator(DenseLinearOperator(joined))
-        return SumLinearOperator(
-            (self, RootLinearOperator(DenseLinearOperator(v)))
-        )
+        return SumLinearOperator((self, RootLinearOperator(v_op)))
 
     def cat_rows(
         self,
@@ -797,6 +887,15 @@ class LinearOperator:
             )
         )
         return self._expand_batch(broadcast_shapes(batch_shape, self.batch_shape))
+
+    def reshape(self, *sizes) -> "LinearOperator":
+        """Alias for :meth:`expand` (reference ``reshape``, :2419-2428),
+        accepting the leading -1 convention reshape allows."""
+        if len(sizes) == 1 and isinstance(sizes[0], (tuple, list)):
+            sizes = tuple(sizes[0])
+        if len(sizes) == self.ndim + 1 and sizes[0] == -1:
+            sizes = (1,) + tuple(sizes[1:])
+        return self.expand(*sizes)
 
     def repeat(self, *sizes) -> "LinearOperator":
         """(reference ``repeat``, :2042-2073) — lazy batch repeat."""

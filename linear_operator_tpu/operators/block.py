@@ -18,8 +18,21 @@ from .._pytree import operator_class
 from ._linear_operator import LinearOperator
 
 
+class BlockLinearOperator(LinearOperator):
+    """Abstract base for block layouts (reference
+    block_linear_operator.py:15-176).
+
+    Subclasses carry the blocks as the -3 batch dimension of ``base`` and
+    decide the layout (diagonal, interleaved, summed — see
+    :class:`BlockDiagLinearOperator`, :class:`BlockInterleavedLinearOperator`,
+    and ``sum_batch.SumBatchLinearOperator``).  The reference's ``block_dim``
+    permutation happens at construction time here (permute batch dims first);
+    this class exists for ``isinstance`` checks and porting parity.
+    """
+
+
 @operator_class
-class BlockDiagLinearOperator(LinearOperator):
+class BlockDiagLinearOperator(BlockLinearOperator):
     base: LinearOperator  # (*b, k, n, m)
 
     @property

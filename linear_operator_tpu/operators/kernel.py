@@ -265,6 +265,39 @@ def matern32_covar(x1, x2, lengthscale, outputscale):
     return outputscale * (1.0 + s3d) * jnp.exp(-s3d)
 
 
+def matern12_covar(x1, x2, lengthscale, outputscale):
+    """Exponential / Ornstein-Uhlenbeck kernel (Matern nu=1/2):
+    outputscale * exp(-||x1-x2|| / l)."""
+    d2 = _sq_dist(x1 / lengthscale, x2 / lengthscale)
+    return outputscale * jnp.exp(-jnp.sqrt(d2 + 1e-30))
+
+
+def rq_covar(x1, x2, lengthscale, outputscale, alpha):
+    """Rational quadratic: outputscale * (1 + d2 / (2 alpha))^-alpha — a scale
+    mixture of RBF kernels; all four hyperparameters are differentiable."""
+    d2 = _sq_dist(x1 / lengthscale, x2 / lengthscale)
+    return outputscale * (1.0 + d2 / (2.0 * alpha)) ** (-alpha)
+
+
+def periodic_covar(x1, x2, lengthscale, outputscale, period):
+    """Periodic (MacKay) kernel:
+    outputscale * exp(-2 sum_k sin^2(pi (x1_k - x2_k) / p) / l^2).
+
+    ``lengthscale`` / ``period`` may be scalars or per-dimension ``(d,)``
+    arrays.  Accumulated per input dimension like ``_sq_dist`` so no
+    (n, m, d) intermediate is formed (exact VPU arithmetic, no MXU)."""
+    d = x1.shape[-1]
+    ls, pd = jnp.asarray(lengthscale), jnp.asarray(period)
+    batch = jnp.broadcast_shapes(x1.shape[:-2], x2.shape[:-2])
+    s2 = jnp.zeros((*batch, x1.shape[-2], x2.shape[-2]), dtype=x1.dtype)
+    for k in range(d):
+        p_k = pd[..., k] if pd.ndim else pd
+        l_k = ls[..., k] if ls.ndim else ls
+        s = jnp.sin(jnp.pi * (x1[..., :, None, k] - x2[..., None, :, k]) / p_k)
+        s2 = s2 + (s * s) / (l_k * l_k)
+    return outputscale * jnp.exp(-2.0 * s2)
+
+
 def matern_kernel_operator(
     x1: jax.Array,
     x2: jax.Array | None = None,
@@ -276,7 +309,7 @@ def matern_kernel_operator(
     use_pallas: bool = False,
     materialize_threshold: int | None = 2**30,
 ) -> KernelLinearOperator:
-    """Matern kernel operator (nu in {1.5, 2.5}), same lazy engine as RBF.
+    """Matern kernel operator (nu in {0.5, 1.5, 2.5}), same lazy engine as RBF.
 
     ``use_pallas`` switches the mat-vec to the fused Pallas stationary-kernel
     tiles (ops/rbf.py), the TPU analog of the reference's KeOps offload for
@@ -285,8 +318,10 @@ def matern_kernel_operator(
         covar, pallas_impl = matern52_covar, matern52_pallas_matvec
     elif nu == 1.5:
         covar, pallas_impl = matern32_covar, matern32_pallas_matvec
+    elif nu == 0.5:
+        covar, pallas_impl = matern12_covar, matern12_pallas_matvec
     else:
-        raise ValueError(f"nu must be 1.5 or 2.5, got {nu}")
+        raise ValueError(f"nu must be 0.5, 1.5 or 2.5, got {nu}")
     symmetric = x2 is None
     if x2 is None:
         x2 = x1
@@ -370,6 +405,35 @@ def matern32_pallas_matvec(
     return _pallas_covar_matvec(
         "matern32", x1, x2, rhs, params, symmetric=symmetric, tile=tile
     )
+
+
+def matern12_pallas_matvec(
+    x1, x2, rhs, params, *, symmetric: bool = False, tile: int = 512
+):
+    return _pallas_covar_matvec(
+        "matern12", x1, x2, rhs, params, symmetric=symmetric, tile=tile
+    )
+
+
+# One matvec_impl instance per static alpha so equal-alpha RQ operators share
+# a treedef (static fields compare by equality -> shared jit cache entries).
+_RQ_PALLAS_IMPLS: dict = {}
+
+
+def _rq_pallas_matvec(alpha: float):
+    from ..ops.rbf import rq_tile_covar
+
+    alpha = float(alpha)
+    if alpha not in _RQ_PALLAS_IMPLS:
+        name = rq_tile_covar(alpha)
+
+        def impl(x1, x2, rhs, params, *, symmetric=False, tile=512, _name=name):
+            return _pallas_covar_matvec(
+                _name, x1, x2, rhs, params, symmetric=symmetric, tile=tile
+            )
+
+        _RQ_PALLAS_IMPLS[alpha] = impl
+    return _RQ_PALLAS_IMPLS[alpha]
 
 
 # HBM budget for the bf16 upper-triangle tile cache (~11 GiB leaves room for
@@ -457,5 +521,73 @@ def rbf_kernel_operator(
         block_rows=block_rows,
         symmetric=symmetric,
         matvec_impl=rbf_pallas_matvec if use_pallas else None,
+        materialize_threshold=materialize_threshold,
+    )
+
+
+def rq_kernel_operator(
+    x1: jax.Array,
+    x2: jax.Array | None = None,
+    *,
+    lengthscale,
+    outputscale,
+    alpha=2.0,
+    block_rows: int = 4096,
+    use_pallas: bool = False,
+    materialize_threshold: int | None = 2**30,
+) -> KernelLinearOperator:
+    """Rational-quadratic kernel operator, same lazy engine as RBF.
+
+    ``alpha`` is a differentiable hyperparameter on the blocked path; with
+    ``use_pallas=True`` it is baked statically into the tile program
+    (``ops.rbf.rq_tile_covar``) — no ``alpha`` gradient through the fused
+    mat-vec, lengthscale/outputscale gradients still flow via prescaling."""
+    symmetric = x2 is None
+    if x2 is None:
+        x2 = x1
+    return KernelLinearOperator(
+        x1,
+        x2,
+        {
+            "lengthscale": jnp.asarray(lengthscale),
+            "outputscale": jnp.asarray(outputscale),
+            "alpha": jnp.asarray(alpha),
+        },
+        covar_func=rq_covar,
+        block_rows=block_rows,
+        symmetric=symmetric,
+        matvec_impl=_rq_pallas_matvec(alpha) if use_pallas else None,
+        materialize_threshold=materialize_threshold,
+    )
+
+
+def periodic_kernel_operator(
+    x1: jax.Array,
+    x2: jax.Array | None = None,
+    *,
+    lengthscale,
+    outputscale,
+    period,
+    block_rows: int = 4096,
+    materialize_threshold: int | None = 2**30,
+) -> KernelLinearOperator:
+    """Periodic (MacKay) kernel operator on the blocked lazy engine.
+
+    Not a function of ||x1-x2||^2, so it has no fused stationary-tile path;
+    the blocked ``lax.map`` engine (and per-solve K caching) applies."""
+    symmetric = x2 is None
+    if x2 is None:
+        x2 = x1
+    return KernelLinearOperator(
+        x1,
+        x2,
+        {
+            "lengthscale": jnp.asarray(lengthscale),
+            "outputscale": jnp.asarray(outputscale),
+            "period": jnp.asarray(period),
+        },
+        covar_func=periodic_covar,
+        block_rows=block_rows,
+        symmetric=symmetric,
         materialize_threshold=materialize_threshold,
     )

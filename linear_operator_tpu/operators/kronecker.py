@@ -77,6 +77,19 @@ class KroneckerProductLinearOperator(LinearOperator):
     def __post_init__(self):
         if len(self.operators) < 1:
             raise ValueError("needs at least one factor")
+        # Accept raw array factors / a list like the reference constructor
+        # (kronecker_product_linear_operator.py:52-58); unflatten bypasses
+        # this path.
+        if not isinstance(self.operators, tuple) or any(
+            not isinstance(f, LinearOperator) for f in self.operators
+        ):
+            from ._linear_operator import to_linear_operator
+
+            object.__setattr__(
+                self,
+                "operators",
+                tuple(to_linear_operator(f) for f in self.operators),
+            )
 
     def _shape(self) -> tuple[int, ...]:
         batch = broadcast_shapes(*(f.batch_shape for f in self.operators))

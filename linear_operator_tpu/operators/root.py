@@ -17,6 +17,15 @@ from ._linear_operator import LinearOperator
 class RootLinearOperator(LinearOperator):
     root: LinearOperator  # (*b, n, k)
 
+    def __post_init__(self):
+        # Accept a raw array root like the reference constructor
+        # (root_linear_operator.py:16-24); unflatten bypasses this, so the
+        # wrapped operator's own leaves remain the pytree children.
+        if not isinstance(self.root, LinearOperator):
+            from ._linear_operator import to_linear_operator
+
+            object.__setattr__(self, "root", to_linear_operator(self.root))
+
     @property
     def _symmetric_hint(self) -> bool:
         return True

@@ -13,10 +13,11 @@ import jax.numpy as jnp
 
 from .._pytree import operator_class, static_field
 from ._linear_operator import LinearOperator
+from .block import BlockLinearOperator
 
 
 @operator_class
-class SumBatchLinearOperator(LinearOperator):
+class SumBatchLinearOperator(BlockLinearOperator):
     base: LinearOperator
     block_dim: int = static_field(default=-3)
 

@@ -132,11 +132,63 @@ def _dcovar_matern32(d2):
     return -1.5 * jnp.exp(-_SQRT3 * d)
 
 
+def _covar_matern12(d2):
+    # exponential / Ornstein-Uhlenbeck kernel
+    return jnp.exp(-jnp.sqrt(d2 + 1e-30))
+
+
+def _dcovar_matern12(d2):
+    # d/d(d2) e^{-d} = -e^{-d} / (2d) is singular at d = 0.  The analytic
+    # x-gradient contribution of a coincident pair is the bounded-magnitude,
+    # direction-undefined limit -e^{-d} (x1-x2)/d; we take the standard 0
+    # convention by zeroing the weight on (near-)coincident pairs — otherwise
+    # the huge diagonal weight swamps the f32 accumulation of the off-diagonal
+    # terms in the W @ x2 / rowsum(W) tiles.
+    d = jnp.sqrt(d2 + 1e-30)
+    return jnp.where(d2 > 1e-12, -jnp.exp(-d) / (2.0 * d), 0.0)
+
+
 TILE_COVARS = {
     "rbf": (_covar_rbf, _dcovar_rbf),
     "matern52": (_covar_matern52, _dcovar_matern52),
     "matern32": (_covar_matern32, _dcovar_matern32),
+    "matern12": (_covar_matern12, _dcovar_matern12),
 }
+
+
+def register_tile_covar(name: str, covar_fn, dcovar_fn) -> str:
+    """Register a custom stationary covariance ``k(d2)`` with the tile engine.
+
+    ``covar_fn(d2) -> k`` and ``dcovar_fn(d2) -> dk/d(d2)`` must be jnp-level
+    elementwise functions of the squared distance of PRE-SCALED inputs; the
+    name becomes a valid ``covar=`` key for every kernel in this module (the
+    TPU analog of handing KeOps a new symbolic formula, reference
+    keops_linear_operator.py:14).  Returns ``name`` for convenience.
+    """
+    TILE_COVARS[name] = (covar_fn, dcovar_fn)
+    return name
+
+
+def rq_tile_covar(alpha: float) -> str:
+    """Register (idempotently) a rational-quadratic covariance
+    ``(1 + d2/(2 alpha))^-alpha`` with static ``alpha``; returns its key.
+
+    ``alpha`` is baked into the tile program (Pallas kernels trace python
+    closures), so no ``alpha`` gradient flows through the fused path —
+    lengthscale/outputscale gradients still flow via input prescaling.
+    """
+    alpha = float(alpha)
+    name = f"rq_{alpha:g}"
+    if name not in TILE_COVARS:
+
+        def _covar_rq(d2, _a=alpha):
+            return (1.0 + d2 / (2.0 * _a)) ** (-_a)
+
+        def _dcovar_rq(d2, _a=alpha):
+            return -0.5 * (1.0 + d2 / (2.0 * _a)) ** (-_a - 1.0)
+
+        register_tile_covar(name, _covar_rq, _dcovar_rq)
+    return name
 
 
 def _make_matvec_kernel(d: int, covar: str = "rbf"):

@@ -42,3 +42,44 @@ def slq_quadrature(
         per_probe = jnp.sum(weights * f(safe_evals), axis=-1)  # (nt, *b)
         results.append(matrix_size * jnp.mean(per_probe, axis=0))  # (*b,)
     return results
+
+
+class StochasticLQ:
+    """Porting shim matching the reference class API (stochastic_lq.py:9-82).
+
+    The native entry point here is :func:`slq_quadrature` (plus
+    ``solvers.lanczos_tridiag`` for the tridiagonalization); this class adapts
+    the reference's object-style workflow —
+    ``lanczos_batch(matmul_closure, rhs_vectors)`` then
+    ``to_dense(matrix_shape, evals, evecs, funcs)`` — onto those functions so
+    ported code runs unchanged.
+    """
+
+    def __init__(self, max_iter: int = 15, num_random_probes: int = 10):
+        self.max_iter = max_iter
+        self.num_random_probes = num_random_probes
+
+    def lanczos_batch(
+        self, matmul_closure: Callable[[jax.Array], jax.Array], rhs_vectors: jax.Array
+    ) -> tuple[jax.Array, jax.Array]:
+        """``rhs_vectors`` (*b, n, p) -> (Q (p, *b, n, k), T (p, *b, k, k)).
+
+        Probes move to a leading axis (the reference's ``num_init_vecs`` dim,
+        lanczos.py:62-66); ``matmul_closure`` must broadcast over batch dims,
+        which every ``LinearOperator.matmul`` here does.
+        """
+        from .lanczos import lanczos_tridiag
+
+        init = jnp.moveaxis(rhs_vectors, -1, 0)  # (p, *b, n)
+        res = lanczos_tridiag(matmul_closure, self.max_iter, init_vecs=init)
+        return res.q_mat, res.t_mat
+
+    def to_dense(
+        self,
+        matrix_shape: Sequence[int],
+        eigenvalues: jax.Array,
+        eigenvectors: jax.Array,
+        funcs: Sequence[Callable[[jax.Array], jax.Array]],
+    ) -> list[jax.Array]:
+        """tr(f(A)) estimates from per-probe Ritz pairs (reference :45-82)."""
+        return slq_quadrature(matrix_shape[-1], eigenvalues, eigenvectors, funcs)

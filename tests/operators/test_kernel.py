@@ -205,14 +205,14 @@ class TestPallasStationaryCovars(BaseTestCase):
         )
 
     def test_symmetric_matches_dense(self):
-        for nu in (1.5, 2.5):
+        for nu in (0.5, 1.5, 2.5):
             x = jax.random.normal(jax.random.PRNGKey(160), (40, 3), dtype=jnp.float32)
             op_ref, op_pl = self._ops(nu, x)
             rhs = jax.random.normal(self.key, (40, 2), dtype=jnp.float32)
             self.assertAllClose(op_pl @ rhs, op_ref @ rhs, rtol=1e-4, atol=1e-4)
 
     def test_rectangular_matches_dense(self):
-        for nu in (1.5, 2.5):
+        for nu in (0.5, 1.5, 2.5):
             x = jax.random.normal(jax.random.PRNGKey(161), (30, 3), dtype=jnp.float32)
             x2 = jax.random.normal(jax.random.PRNGKey(162), (17, 3), dtype=jnp.float32)
             op_ref, op_pl = self._ops(nu, x, x2)
@@ -231,7 +231,7 @@ class TestPallasStationaryCovars(BaseTestCase):
         path (exercises the k'(d2) weighted tiles)."""
         from linear_operator_tpu.operators.kernel import matern_kernel_operator
 
-        for nu in (1.5, 2.5):
+        for nu in (0.5, 1.5, 2.5):
             x0 = jax.random.normal(jax.random.PRNGKey(165), (18, 2), dtype=jnp.float32)
             rhs = jax.random.normal(self.key, (18, 1), dtype=jnp.float32)
 
@@ -272,4 +272,152 @@ class TestPallasStationaryCovars(BaseTestCase):
         )(x1, x2, v)
         self.assertAllClose(g1, e1, rtol=1e-3, atol=1e-4)
         self.assertAllClose(g2, e2, rtol=1e-3, atol=1e-4)
+        self.assertAllClose(gv, ev, rtol=1e-3, atol=1e-4)
+
+
+class TestNewCovariances(BaseTestCase):
+    """Matern 1/2, rational-quadratic, and periodic kernels: dense goldens,
+    Pallas-path agreement, and hyperparameter gradients."""
+
+    def test_matern12_dense_golden(self):
+        from linear_operator_tpu.operators.kernel import matern_kernel_operator
+
+        x = jax.random.normal(jax.random.PRNGKey(170), (20, 3))
+        ls, os_ = jnp.asarray(0.7), jnp.asarray(1.4)
+        op = matern_kernel_operator(x, lengthscale=ls, outputscale=os_, nu=0.5)
+        d = jnp.sqrt(
+            jnp.sum((x[:, None, :] - x[None, :, :]) ** 2, axis=-1)
+        )
+        expected = os_ * jnp.exp(-d / ls)
+        self.assertAllClose(op.to_dense(), expected, rtol=1e-5, atol=1e-6)
+
+    def test_rq_dense_golden_and_alpha_grad(self):
+        from linear_operator_tpu.operators.kernel import rq_kernel_operator
+
+        x = jax.random.normal(jax.random.PRNGKey(171), (18, 2))
+        ls, os_, alpha = jnp.asarray(0.9), jnp.asarray(1.2), jnp.asarray(1.7)
+        op = rq_kernel_operator(x, lengthscale=ls, outputscale=os_, alpha=alpha)
+        d2 = jnp.sum((x[:, None, :] - x[None, :, :]) ** 2, axis=-1) / ls**2
+        expected = os_ * (1.0 + d2 / (2 * alpha)) ** (-alpha)
+        self.assertAllClose(op.to_dense(), expected, rtol=1e-5, atol=1e-6)
+
+        # alpha is differentiable on the blocked path
+        rhs = jax.random.normal(self.key, (18, 1))
+
+        def f(a):
+            o = rq_kernel_operator(x, lengthscale=ls, outputscale=os_, alpha=a)
+            return jnp.sum((o @ rhs) ** 2)
+
+        ga = jax.grad(f)(alpha)
+        eps = 1e-3
+        fd = (f(alpha + eps) - f(alpha - eps)) / (2 * eps)
+        self.assertAllClose(ga, fd, rtol=1e-2, atol=1e-3)
+
+    def test_rq_pallas_matches_blocked(self):
+        from linear_operator_tpu.operators.kernel import rq_kernel_operator
+
+        x = jax.random.normal(jax.random.PRNGKey(172), (40, 3), dtype=jnp.float32)
+        kw = dict(
+            lengthscale=jnp.float32(0.8), outputscale=jnp.float32(1.1), alpha=2.0
+        )
+        op_ref = rq_kernel_operator(x, **kw)
+        op_pl = rq_kernel_operator(x, use_pallas=True, **kw)
+        rhs = jax.random.normal(self.key, (40, 2), dtype=jnp.float32)
+        self.assertAllClose(op_pl @ rhs, op_ref @ rhs, rtol=1e-4, atol=1e-4)
+
+        # x and lengthscale gradients flow through the fused path
+        def f(x_, ls, use_pallas):
+            o = rq_kernel_operator(
+                x_, lengthscale=ls, outputscale=jnp.float32(1.1), alpha=2.0,
+                use_pallas=use_pallas,
+            )
+            return jnp.sum((o @ rhs) ** 2)
+
+        gx_p, gl_p = jax.grad(lambda a, l: f(a, l, True), argnums=(0, 1))(
+            x, jnp.float32(0.8)
+        )
+        gx_e, gl_e = jax.grad(lambda a, l: f(a, l, False), argnums=(0, 1))(
+            x, jnp.float32(0.8)
+        )
+        self.assertAllClose(gx_p, gx_e, rtol=1e-2, atol=1e-2)
+        self.assertAllClose(gl_p, gl_e, rtol=1e-2, atol=1e-2)
+
+    def test_periodic_dense_golden(self):
+        from linear_operator_tpu.operators.kernel import periodic_kernel_operator
+
+        x = jax.random.normal(jax.random.PRNGKey(173), (16, 2))
+        ls, os_, p = jnp.asarray(0.8), jnp.asarray(1.3), jnp.asarray(2.0)
+        op = periodic_kernel_operator(
+            x, lengthscale=ls, outputscale=os_, period=p
+        )
+        diff = x[:, None, :] - x[None, :, :]
+        expected = os_ * jnp.exp(
+            -2.0 * jnp.sum(jnp.sin(jnp.pi * diff / p) ** 2, axis=-1) / ls**2
+        )
+        self.assertAllClose(op.to_dense(), expected, rtol=1e-5, atol=1e-6)
+        # exact periodicity: shifting any input by the period is a no-op
+        x_shift = x.at[:, 0].add(2.0)
+        op2 = periodic_kernel_operator(
+            x_shift, x, lengthscale=ls, outputscale=os_, period=p
+        )
+        self.assertAllClose(op2.to_dense(), expected, rtol=1e-4, atol=1e-5)
+
+    def test_periodic_per_dim_params_and_grads(self):
+        from linear_operator_tpu.operators.kernel import periodic_kernel_operator
+
+        x = jax.random.normal(jax.random.PRNGKey(174), (14, 3))
+        ls = jnp.asarray([0.7, 0.9, 1.1])
+        pd = jnp.asarray([1.5, 2.0, 2.5])
+        op = periodic_kernel_operator(
+            x, lengthscale=ls, outputscale=jnp.asarray(1.0), period=pd
+        )
+        diff = x[:, None, :] - x[None, :, :]
+        expected = jnp.exp(
+            -2.0 * jnp.sum(jnp.sin(jnp.pi * diff / pd) ** 2 / ls**2, axis=-1)
+        )
+        self.assertAllClose(op.to_dense(), expected, rtol=1e-5, atol=1e-6)
+
+        rhs = jax.random.normal(self.key, (14, 1))
+
+        def f(p):
+            o = periodic_kernel_operator(
+                x, lengthscale=ls, outputscale=jnp.asarray(1.0), period=p
+            )
+            return jnp.sum((o @ rhs) ** 2)
+
+        gp = jax.grad(f)(pd)
+        eps = 1e-4
+        e0 = jnp.zeros_like(pd).at[1].set(eps)
+        fd = (f(pd + e0) - f(pd - e0)) / (2 * eps)
+        self.assertAllClose(gp[1], fd, rtol=1e-2, atol=1e-3)
+
+    def test_register_tile_covar_custom(self):
+        """A user-registered k(d2) runs through the fused tile engine."""
+        from linear_operator_tpu.ops.rbf import kernel_matvec, register_tile_covar
+
+        name = register_tile_covar(
+            "test_cauchy",
+            lambda d2: 1.0 / (1.0 + d2),
+            lambda d2: -1.0 / (1.0 + d2) ** 2,
+        )
+        x1 = jax.random.normal(jax.random.PRNGKey(175), (12, 2), dtype=jnp.float32)
+        x2 = jax.random.normal(jax.random.PRNGKey(176), (9, 2), dtype=jnp.float32)
+        v = jax.random.normal(self.key, (9, 1), dtype=jnp.float32)
+
+        def dense(a, b, c):
+            d2 = jnp.sum((a[:, None, :] - b[None, :, :]) ** 2, axis=-1)
+            return (1.0 / (1.0 + d2)) @ c
+
+        self.assertAllClose(
+            kernel_matvec(x1, x2, v, 512, name), dense(x1, x2, v),
+            rtol=1e-4, atol=1e-4,
+        )
+        g1, gv = jax.grad(
+            lambda a, c: jnp.sum(kernel_matvec(a, x2, c, 512, name) ** 2),
+            argnums=(0, 1),
+        )(x1, v)
+        e1, ev = jax.grad(
+            lambda a, c: jnp.sum(dense(a, x2, c) ** 2), argnums=(0, 1)
+        )(x1, v)
+        self.assertAllClose(g1, e1, rtol=1e-3, atol=1e-4)
         self.assertAllClose(gv, ev, rtol=1e-3, atol=1e-4)

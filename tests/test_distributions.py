@@ -1,0 +1,166 @@
+"""MultivariateNormal over lazy covariances: exact goldens vs dense formulas
+(the GPyTorch-consumer workflow, gpytorch/distributions/multivariate_normal.py)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import linear_operator_tpu as lt
+from linear_operator_tpu.distributions import MultivariateNormal
+from linear_operator_tpu.test.base_test_case import BaseTestCase
+
+
+def _dense_logpdf(mean, cov, x):
+    n = mean.shape[-1]
+    diff = np.asarray(x - mean)
+    cov = np.asarray(cov)
+    sol = np.linalg.solve(cov, diff)
+    _, ld = np.linalg.slogdet(cov)
+    return -0.5 * (diff @ sol + ld + n * math.log(2 * math.pi))
+
+
+class TestMultivariateNormal(BaseTestCase):
+    def _mvn(self, n=7):
+        a = jax.random.normal(self.key, (n, n))
+        cov = a @ a.T + jnp.eye(n)
+        mean = jax.random.normal(self.key, (n,))
+        return MultivariateNormal(mean, lt.to_linear_operator(cov)), mean, cov
+
+    def test_log_prob_matches_dense(self):
+        mvn, mean, cov = self._mvn()
+        x = jax.random.normal(self.key, (7,))
+        self.assertAllClose(
+            mvn.log_prob(x), _dense_logpdf(mean, cov, x), rtol=1e-5, atol=1e-5
+        )
+
+    def test_log_prob_sample_dims(self):
+        mvn, mean, cov = self._mvn()
+        xs = jax.random.normal(self.key, (3, 2, 7))
+        lp = mvn.log_prob(xs)
+        self.assertEqual(lp.shape, (3, 2))
+        for i in range(3):
+            for j in range(2):
+                self.assertAllClose(
+                    lp[i, j], _dense_logpdf(mean, cov, xs[i, j]),
+                    rtol=1e-5, atol=1e-5,
+                )
+
+    def test_log_prob_batched(self):
+        a = jax.random.normal(self.key, (4, 5, 5))
+        cov = a @ jnp.swapaxes(a, -1, -2) + jnp.eye(5)
+        mean = jax.random.normal(self.key, (4, 5))
+        mvn = MultivariateNormal(mean, lt.to_linear_operator(cov))
+        x = jax.random.normal(self.key, (4, 5))
+        lp = mvn.log_prob(x)
+        self.assertEqual(lp.shape, (4,))
+        for b in range(4):
+            self.assertAllClose(
+                lp[b], _dense_logpdf(mean[b], cov[b], x[b]), rtol=1e-5, atol=1e-5
+            )
+
+    def test_structured_covariance_routes_lazily(self):
+        """A Diag-covariance MVN never densifies: O(n) log_prob."""
+        d = jnp.abs(jax.random.normal(self.key, (9,))) + 0.5
+        mvn = MultivariateNormal(jnp.zeros(9), lt.DiagLinearOperator(d))
+        x = jax.random.normal(self.key, (9,))
+        expected = jnp.sum(
+            -0.5 * (x**2 / d + jnp.log(d) + math.log(2 * math.pi))
+        )
+        self.assertAllClose(mvn.log_prob(x), expected, rtol=1e-5, atol=1e-5)
+        self.assertAllClose(mvn.variance, d)
+
+    def test_entropy_and_kl(self):
+        mvn1, mean1, cov1 = self._mvn()
+        mvn2, mean2, cov2 = self._mvn()
+        s1, s2 = np.asarray(cov1), np.asarray(cov2)
+        _, ld1 = np.linalg.slogdet(s1)
+        self.assertAllClose(
+            mvn1.entropy(),
+            0.5 * (7 * (1 + math.log(2 * math.pi)) + ld1),
+            rtol=1e-5,
+            atol=1e-5,
+        )
+        md = np.asarray(mean2 - mean1)
+        _, ld2 = np.linalg.slogdet(s2)
+        kl_exact = 0.5 * (
+            np.trace(np.linalg.solve(s2, s1))
+            + md @ np.linalg.solve(s2, md)
+            - 7
+            + ld2
+            - ld1
+        )
+        self.assertAllClose(mvn1.kl_divergence(mvn2), kl_exact, rtol=1e-4, atol=1e-4)
+
+    def test_rsample_moments_and_gradients(self):
+        mvn, mean, cov = self._mvn(5)
+        samples = mvn.rsample(jax.random.PRNGKey(0), (4000,))
+        self.assertEqual(samples.shape, (4000, 5))
+        emp_mean = jnp.mean(samples, axis=0)
+        self.assertAllClose(emp_mean, mean, rtol=0.3, atol=0.15)
+        emp_cov = jnp.cov(samples.T)
+        self.assertAllClose(emp_cov, cov, rtol=0.3, atol=0.3)
+
+        # reparameterized: gradients flow to the covariance leaves
+        def f(c):
+            m = MultivariateNormal(mean, lt.to_linear_operator(c))
+            return jnp.sum(m.rsample(jax.random.PRNGKey(1), (8,)) ** 2)
+
+        g = jax.grad(f)(cov)
+        self.assertTrue(bool(jnp.all(jnp.isfinite(g))))
+        self.assertGreater(float(jnp.abs(g).sum()), 0.0)
+
+    def test_confidence_region_and_jitter(self):
+        mvn, mean, cov = self._mvn()
+        lo_, hi = mvn.confidence_region()
+        self.assertAllClose(hi - mean, 2.0 * mvn.stddev, rtol=1e-6, atol=1e-6)
+        self.assertAllClose(
+            mvn.add_jitter(0.5).variance, mvn.variance + 0.5, rtol=1e-5, atol=1e-6
+        )
+
+    def test_pytree_jit_roundtrip(self):
+        mvn, mean, cov = self._mvn()
+
+        @jax.jit
+        def get_lp(m, x):
+            return m.log_prob(x)
+
+        x = jax.random.normal(self.key, (7,))
+        self.assertAllClose(
+            get_lp(mvn, x), _dense_logpdf(mean, cov, x), rtol=1e-5, atol=1e-5
+        )
+
+    def test_expand(self):
+        mvn, mean, cov = self._mvn()
+        big = mvn.expand((3,))
+        self.assertEqual(big.batch_shape, (3,))
+        x = jax.random.normal(self.key, (7,))
+        lp = big.log_prob(x)
+        self.assertEqual(lp.shape, (3,))
+
+
+class TestPosteriorDistribution(BaseTestCase):
+    def test_exact_gp_posterior_distribution(self):
+        """Joint predictive MVN matches the dense GP formulas."""
+        from linear_operator_tpu.models import ExactGPRegression
+
+        gp = ExactGPRegression()
+        params = gp.init_params(d=2)
+        x = jax.random.normal(self.key, (40, 2))
+        y = jnp.sin(x[:, 0]) + 0.05 * jax.random.normal(self.key, (40,))
+        xs = jax.random.normal(self.key, (9, 2))
+        mvn = gp.posterior_distribution(params, x, y, xs)
+        mean, var = gp.posterior(params, x, y, xs)
+        self.assertAllClose(mvn.mean, mean, rtol=1e-4, atol=1e-4)
+        self.assertAllClose(mvn.variance, var, rtol=1e-2, atol=1e-3)
+        # full covariance vs dense formula
+        k = gp.train_operator(params, x).to_dense()
+        ks = gp.covariance(params, xs, x).to_dense()
+        kss = gp.covariance(params, xs).to_dense()
+        expected = kss - ks @ np.linalg.solve(np.asarray(k), np.asarray(ks).T)
+        self.assertAllClose(
+            mvn.covariance_matrix, expected, rtol=5e-2, atol=5e-3
+        )
+        lp = mvn.log_prob(mvn.rsample(jax.random.PRNGKey(0)))
+        self.assertTrue(bool(jnp.isfinite(lp)))

@@ -629,3 +629,61 @@ class TestPallasBatchedRect:
         gx2, gv2 = jax.grad(f_dense, argnums=(0, 1))(x, v)
         np.testing.assert_allclose(np.asarray(gv1), np.asarray(gv2), rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), rtol=1e-3, atol=1e-3)
+
+
+class TestLazyRootAddition:
+    """K + RootLinearOperator(structured) must keep the root lazy: the
+    reference passes the root operator through add_low_rank
+    (_linear_operator.py:2816-2817) — densifying a full-rank structured root
+    (e.g. the README composite Kron + Root(Toeplitz) demo) destroys its
+    O(n log n) mat-vec."""
+
+    def test_structured_root_stays_lazy(self):
+        from linear_operator_tpu.operators import (
+            KroneckerProductLinearOperator,
+            RootLinearOperator,
+            ToeplitzLinearOperator,
+        )
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+        m1 = jax.random.normal(k1, (6, 6))
+        m1 = m1 @ m1.T + jnp.eye(6)
+        m2 = jax.random.normal(k2, (5, 5))
+        m2 = m2 @ m2.T + jnp.eye(5)
+        n = 30
+        col = jnp.concatenate([jnp.array([2.0]), 0.5 ** jnp.arange(1.0, n)])
+        a = KroneckerProductLinearOperator((m1, m2)) + RootLinearOperator(
+            ToeplitzLinearOperator(col)
+        )
+        # the Toeplitz column must still be a (n,) leaf — no (n, n) leaf
+        shapes = [l.shape for l in jax.tree_util.tree_leaves(a)]
+        assert (n,) in shapes
+        assert (n, n) not in shapes
+        # and the math is right
+        tcol = np.asarray(col)
+        t = np.empty((n, n), dtype=np.float64)
+        for i in range(n):
+            for j in range(n):
+                t[i, j] = tcol[abs(i - j)]
+        expected = np.kron(np.asarray(m1), np.asarray(m2)) + t @ t.T
+        np.testing.assert_allclose(
+            np.asarray(a.to_dense()), expected, rtol=1e-8, atol=1e-8
+        )
+        v = jax.random.normal(jax.random.PRNGKey(8), (n, 2))
+        np.testing.assert_allclose(
+            np.asarray(a @ v), expected @ np.asarray(v), rtol=1e-7, atol=1e-7
+        )
+
+    def test_add_low_rank_array_still_works(self):
+        from linear_operator_tpu.operators import DenseLinearOperator
+
+        a = jax.random.normal(jax.random.PRNGKey(9), (8, 8))
+        a = DenseLinearOperator(a @ a.T + jnp.eye(8))
+        v = jax.random.normal(jax.random.PRNGKey(10), (8, 2))
+        s = a.add_low_rank(v)
+        np.testing.assert_allclose(
+            np.asarray(s.to_dense()),
+            np.asarray(a.to_dense() + v @ v.T),
+            rtol=1e-8,
+            atol=1e-8,
+        )
