@@ -21,6 +21,7 @@ from linear_operator_tpu.models import (
     ExactGPRegression,
     SGPRRegression,
     SKIGPRegression,
+    SVGPRegression,
     make_grid,
 )
 
@@ -93,6 +94,35 @@ def main() -> None:
     params = sgpr.init_params(x, num_inducing=64)
     params = train(lambda p_: sgpr.neg_elbo(p_, x, y), params, args.steps)
     mean, var = sgpr.posterior(params, x, y, x_star)
+    print(f"  posterior mean range [{float(mean.min()):.2f}, {float(mean.max()):.2f}]")
+
+    print("== SVGP: minibatch variational bound (batch 256), m=64")
+    svgp = SVGPRegression()
+    params = svgp.init_params(x, num_inducing=64)
+    key_mb = jax.random.PRNGKey(42)
+    import optax
+
+    opt = optax.adam(0.05)
+    state = opt.init(params)
+
+    @jax.jit
+    def svgp_step(params, state, xb, yb):
+        val, grads = jax.value_and_grad(svgp.neg_elbo)(
+            params, xb, yb, num_data=args.n
+        )
+        updates, state = opt.update(grads, state)
+        return optax.apply_updates(params, updates), state, val
+
+    t0 = time.perf_counter()
+    for i in range(args.steps * 4):
+        key_mb, k = jax.random.split(key_mb)
+        idx = jax.random.choice(k, args.n, (min(256, args.n),), replace=False)
+        params, state, val = svgp_step(params, state, x[idx], y[idx])
+    print(
+        f"  {args.steps * 4} minibatch steps in {time.perf_counter()-t0:.2f}s: "
+        f"full-data ELBO {float(svgp.elbo(params, x, y)):.1f}"
+    )
+    mean, var = svgp.posterior(params, x_star)
     print(f"  posterior mean range [{float(mean.min()):.2f}, {float(mean.max()):.2f}]")
 
     print("\nDone.")

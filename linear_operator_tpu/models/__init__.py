@@ -10,6 +10,7 @@ from .gp import ExactGPRegression, GPParams
 from .multitask import MultitaskGPParams, MultitaskGPRegression
 from .sgpr import SGPRParams, SGPRRegression
 from .ski import GridSpec, SKIGPRegression, SKIParams, make_grid
+from .svgp import SVGPParams, SVGPRegression
 
 __all__ = [
     "ExactGPRegression",
@@ -21,5 +22,7 @@ __all__ = [
     "SGPRRegression",
     "SKIGPRegression",
     "SKIParams",
+    "SVGPParams",
+    "SVGPRegression",
     "make_grid",
 ]
