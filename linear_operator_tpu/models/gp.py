@@ -27,6 +27,13 @@ class GPParams(NamedTuple):
     raw_noise: jax.Array
 
 
+class PosteriorCache(NamedTuple):
+    """Training-time prediction caches (see ``posterior_cache``)."""
+
+    alpha: jax.Array  # (*b, n, 1)   K^{-1} y
+    root_inv: jax.Array  # (*b, n, k)  R with R R^T ≈ K^{-1}
+
+
 def _softplus(x):
     return jax.nn.softplus(x) + 1e-6
 
@@ -107,6 +114,32 @@ class ExactGPRegression:
         v = solve(K, k_star.mT.to_dense())
         k_ss_diag = self.covariance(params, x_star).diagonal()
         var = k_ss_diag - jnp.einsum("...mn,...nm->...m", k_star.to_dense(), v)
+        return mean, jnp.maximum(var, 0.0)
+
+    # -- cached prediction (the LOVE workflow; Pleiss et al. 2018) ---------
+
+    def posterior_cache(self, params: GPParams, x, y, *, key=None) -> "PosteriorCache":
+        """Precompute the training-dependent solves once: the weight vector
+        ``alpha = K^{-1} y`` and an inverse root ``R`` with ``R R^T ≈ K^{-1}``
+        (GPyTorch's LOVE / ``model.eval()`` prediction caches, built on
+        ``root_inv_decomposition`` — the functional analog of the reference's
+        memoized prediction strategy).  The cache is a pytree: jit through
+        it, reuse it across any number of query batches."""
+        K = self.train_operator(params, x)
+        alpha = solve(K, y[..., None])
+        r_inv = K.root_inv_decomposition(key=key).root.to_dense()
+        return PosteriorCache(alpha=alpha, root_inv=r_inv)
+
+    def posterior_from_cache(
+        self, params: GPParams, x, cache: "PosteriorCache", x_star
+    ):
+        """Predictive mean/variance at ``x_star`` in O(m·n·k) from the cache
+        — no solves at query time (constant-time-per-query LOVE contract)."""
+        k_star = self.covariance(params, x_star, x)  # (*b, m, n)
+        mean = (k_star @ cache.alpha)[..., 0]
+        v = k_star @ cache.root_inv  # (*b, m, k)
+        k_ss_diag = self.covariance(params, x_star).diagonal()
+        var = k_ss_diag - jnp.sum(v * v, axis=-1)
         return mean, jnp.maximum(var, 0.0)
 
     def posterior_distribution(self, params: GPParams, x, y, x_star, *, key=None):

@@ -178,6 +178,22 @@ class LinearOperator:
         """Stop gradients on every leaf (reference ``detach``, :1382-1408)."""
         return tree_map_leaves(jax.lax.stop_gradient, self)
 
+    def detach_(self) -> "LinearOperator":
+        """Deprecated in-place spelling (reference ``detach_``, :1410-1418).
+
+        JAX operators are immutable; returns a detached copy like
+        :meth:`detach`.
+        """
+        return self.detach()
+
+    def clone(self) -> "LinearOperator":
+        """Copy with freshly-copied leaves (reference ``clone``, :1325-1334).
+
+        JAX arrays are immutable, so this is a structural no-op kept for API
+        parity; the returned operator shares leaf buffers safely.
+        """
+        return tree_map_leaves(lambda leaf: leaf, self)
+
     def astype(self, dtype) -> "LinearOperator":
         """Cast every floating leaf (reference ``to``/``float``/..., :2606-2631)."""
         def cast(leaf):
@@ -723,6 +739,33 @@ class LinearOperator:
         """(reference ``logdet``, :1834-1842)"""
         _, ld = self.inv_quad_logdet(None, logdet=True, key=key)
         return ld
+
+    def log_det(self, *, key: jax.Array | None = None) -> jax.Array:
+        """Deprecated alias for :meth:`logdet` (reference ``log_det``,
+        :1844-1852)."""
+        warnings.warn(
+            "log_det is deprecated; use logdet", DeprecationWarning, stacklevel=2
+        )
+        return self.logdet(key=key)
+
+    def inv_quad_log_det(
+        self,
+        inv_quad_rhs: jax.Array | None = None,
+        logdet: bool = False,
+        reduce_inv_quad: bool = True,
+        *,
+        key: jax.Array | None = None,
+    ) -> tuple[jax.Array, jax.Array]:
+        """Deprecated alias for :meth:`inv_quad_logdet` (reference
+        ``inv_quad_log_det``, :1806-1832)."""
+        warnings.warn(
+            "inv_quad_log_det is deprecated; use inv_quad_logdet",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        return self.inv_quad_logdet(
+            inv_quad_rhs, logdet=logdet, reduce_inv_quad=reduce_inv_quad, key=key
+        )
 
     # ------------------------------------------------------------------
     # Factorizations

@@ -405,6 +405,10 @@ class stable_qr_host_threshold(_value_context):
     _global_value = 128
 
 
+#: Deprecated reference spelling (reference settings.py:608-615); same context.
+stable_qr_cpu_threshold = stable_qr_host_threshold
+
+
 def record_linalg(name: str, *shapes) -> None:
     """Hook used by solvers when ``verbose_linalg`` is on (reference
     linear_cg.py:193-196, lanczos.py:60-63, minres.py:124-128)."""

@@ -20,7 +20,7 @@ from . import qr  # noqa: F401
 from . import qr as pinverse  # noqa: F401  (reference utils/pinverse.py)
 from . import sparse  # noqa: F401
 from . import sparse as interpolation  # noqa: F401  (reference utils/interpolation.py)
-from .cholesky import psd_safe_cholesky, psd_safe_cholesky_ex
+from .cholesky import blocked_cholesky, psd_safe_cholesky, psd_safe_cholesky_ex
 from .errors import CachingError, NanError, NotPSDError
 from .qr import stable_pinverse, stable_qr  # noqa: F401
 from .toeplitz import (
@@ -41,6 +41,7 @@ __all__ = [
     "NumericalWarning",
     "PerformanceWarning",
     "StochasticLQ",
+    "blocked_cholesky",
     "broadcasting",
     "cholesky",
     "contour_integral_quad",

@@ -20,6 +20,58 @@ from jax import lax
 from .. import settings
 
 
+def blocked_cholesky(A: jax.Array, block: int = 256) -> jax.Array:
+    """Lower Cholesky via a right-looking blocked sweep (TPU fast path).
+
+    XLA's native Cholesky expansion runs panel-at-a-time with small matmuls
+    and is far from the MXU roofline for large ``n`` (measured ~0.5% MFU at
+    64x1024x1024 — BASELINE.md).  This formulation does ``n/block``
+    sequential steps whose trailing updates are large batched matmuls at
+    ``Precision.HIGHEST`` (f32-true on TPU):
+
+        for each block column i:   L_ii  = chol(A_ii - L_i: L_i:^T)
+                                   L_j,i = (A_j,i - L_j: L_i:^T) L_ii^{-T}
+
+    Same contract as ``jnp.linalg.cholesky``: NaNs propagate from any
+    non-PSD diagonal block, so ``psd_safe_cholesky``'s retry logic works
+    unchanged.  Differentiable; the cotangent-on-A convention weights the
+    (unused) upper triangle differently from XLA's native VJP, but pulls
+    back identically through any symmetric construction of ``A`` — which is
+    the only way PSD operators reach this function.  ``n`` not divisible by ``block`` is handled by padding with
+    an identity tail (factor of a block-diagonal extension, then sliced).
+    Unrolled at trace time — block count is static.
+    """
+    n = A.shape[-1]
+    if n <= block:
+        return jnp.linalg.cholesky(A)
+    nb = -(-n // block)
+    npad = nb * block - n
+    if npad:
+        A = jnp.pad(A, [(0, 0)] * (A.ndim - 2) + [(0, npad), (0, npad)])
+        eye_tail = jnp.zeros((n + npad,), dtype=A.dtype).at[n:].set(1.0)
+        A = A + jnp.diag(eye_tail)
+    HIGHEST = lax.Precision.HIGHEST
+    out = jnp.zeros_like(A)
+    for i in range(nb):
+        s = i * block
+        li = out[..., s : s + block, :s]
+        aii = A[..., s : s + block, s : s + block]
+        aii = aii - jnp.matmul(li, jnp.swapaxes(li, -1, -2), precision=HIGHEST)
+        lii = jnp.linalg.cholesky(aii)
+        out = out.at[..., s : s + block, s : s + block].set(lii)
+        if i + 1 < nb:
+            lj = out[..., s + block :, :s]
+            aji = A[..., s + block :, s : s + block]
+            aji = aji - jnp.matmul(lj, jnp.swapaxes(li, -1, -2), precision=HIGHEST)
+            panel = lax.linalg.triangular_solve(
+                lii, aji, left_side=False, lower=True, transpose_a=True
+            )
+            out = out.at[..., s + block :, s : s + block].set(panel)
+    if npad:
+        out = out[..., :n, :n]
+    return out
+
+
 class CholeskyResult(NamedTuple):
     factor: jax.Array  # lower-triangular (or NaN where factorization failed)
     ok: jax.Array  # bool (*batch,): factorization succeeded

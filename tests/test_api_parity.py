@@ -188,3 +188,44 @@ class TestTorchApiSurface(BaseTestCase):
         dense = lt.to_linear_operator(jnp.eye(3))
         for name in ("abs", "exp", "log", "sqrt", "inverse"):
             self.assertRaises(NotImplementedError, getattr(dense, name))
+
+
+class TestDeprecatedAliases(BaseTestCase):
+    """Reference deprecated spellings resolve and warn (reference
+    _linear_operator.py:1325-1334, :1410-1418, :1806-1852;
+    settings.py:608-615)."""
+
+    def test_clone_detach_inplace(self):
+        a = jax.random.normal(self.key, (4, 4))
+        op = lt.to_linear_operator(a @ a.T + 4 * jnp.eye(4))
+        import numpy as np
+
+        np.testing.assert_array_equal(
+            np.asarray(op.clone().to_dense()), np.asarray(op.to_dense())
+        )
+        np.testing.assert_array_equal(
+            np.asarray(op.detach_().to_dense()), np.asarray(op.to_dense())
+        )
+
+    def test_log_det_aliases_warn(self):
+        import warnings as _w
+
+        a = jax.random.normal(self.key, (4, 4))
+        op = lt.to_linear_operator(a @ a.T + 4 * jnp.eye(4))
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            ld = op.log_det()
+            iq, ld2 = op.inv_quad_log_det(
+                jax.random.normal(self.key, (4, 2)), logdet=True
+            )
+        self.assertTrue(any(issubclass(w.category, DeprecationWarning) for w in rec))
+        self.assertAllClose(ld, op.logdet(), rtol=1e-5, atol=1e-5)
+        self.assertAllClose(ld2, ld, rtol=1e-5, atol=1e-5)
+        self.assertEqual(iq.shape, ())
+
+    def test_stable_qr_cpu_threshold_alias(self):
+        from linear_operator_tpu import settings
+
+        self.assertIs(
+            settings.stable_qr_cpu_threshold, settings.stable_qr_host_threshold
+        )

@@ -164,3 +164,33 @@ class TestPosteriorDistribution(BaseTestCase):
         )
         lp = mvn.log_prob(mvn.rsample(jax.random.PRNGKey(0)))
         self.assertTrue(bool(jnp.isfinite(lp)))
+
+
+class TestPosteriorCache(BaseTestCase):
+    def test_cached_posterior_matches_direct(self):
+        """LOVE-style cache (models/gp.py posterior_cache): query-time
+        predictions from the cache match the direct solve path, with no
+        solves at query time."""
+        from unittest import mock
+
+        from linear_operator_tpu.models import ExactGPRegression
+        from linear_operator_tpu.models import ExactGPRegression as _unused  # noqa
+
+        gp = ExactGPRegression()
+        params = gp.init_params(d=2)
+        x = jax.random.normal(self.key, (50, 2))
+        y = jnp.sin(x[:, 0]) + 0.05 * jax.random.normal(self.key, (50,))
+        xs = jax.random.normal(self.key, (7, 2))
+        cache = gp.posterior_cache(params, x, y)
+        mean_d, var_d = gp.posterior(params, x, y, xs)
+        with mock.patch(
+            "linear_operator_tpu.solvers.linear_cg.linear_cg",
+            side_effect=AssertionError("solve at query time"),
+        ):
+            mean_c, var_c = gp.posterior_from_cache(params, x, cache, xs)
+        self.assertAllClose(mean_c, mean_d, rtol=1e-3, atol=1e-4)
+        self.assertAllClose(var_c, var_d, rtol=5e-2, atol=1e-4)
+        # the cache is a pytree: jit through query
+        f = jax.jit(lambda c, xs: gp.posterior_from_cache(params, x, c, xs))
+        mean_j, _ = f(cache, xs)
+        self.assertAllClose(mean_j, mean_c, rtol=1e-6, atol=1e-6)

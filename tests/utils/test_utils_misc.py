@@ -74,3 +74,54 @@ class TestDefaultPreconditioner(BaseTestCase):
         plain = linear_cg(op._matmul, b, tolerance=1e-10, max_iter=300)
         pre = linear_cg(op._matmul, b, tolerance=1e-10, max_iter=300, preconditioner=closure)
         self.assertLess(int(pre.num_iters), int(plain.num_iters))
+
+
+class TestBlockedCholesky(BaseTestCase):
+    """blocked_cholesky matches jnp.linalg.cholesky (the TPU fast path for
+    large n; utils/cholesky.py blocked right-looking sweep)."""
+
+    def _check(self, shape, block, dtype=jnp.float64):
+        from linear_operator_tpu.utils.cholesky import blocked_cholesky
+
+        x = jax.random.normal(self.key, shape, dtype=dtype)
+        n = shape[-1]
+        a = x @ jnp.swapaxes(x, -1, -2) + 2.0 * n * jnp.eye(n, dtype=dtype)
+        l_ref = jnp.linalg.cholesky(a)
+        l_blk = blocked_cholesky(a, block=block)
+        self.assertAllClose(l_blk, l_ref, rtol=1e-8, atol=1e-8)
+
+    def test_divisible(self):
+        self._check((2, 96, 96), block=32)
+
+    def test_non_divisible_pads(self):
+        self._check((80, 80), block=32)
+
+    def test_small_passthrough(self):
+        self._check((3, 16, 16), block=32)
+
+    def test_nan_propagates_for_non_psd(self):
+        from linear_operator_tpu.utils.cholesky import blocked_cholesky
+
+        a = -jnp.eye(64, dtype=jnp.float64)
+        l = blocked_cholesky(a, block=32)
+        self.assertTrue(bool(jnp.any(jnp.isnan(l))))
+
+    def test_jit_and_grad(self):
+        from linear_operator_tpu.utils.cholesky import blocked_cholesky
+
+        # Gradients agree through any SYMMETRIC construction of A (the
+        # cotangent-on-A conventions differ in how they weight the unused
+        # upper triangle, but pull back identically through symmetric maps).
+        x = jax.random.normal(self.key, (48, 48), dtype=jnp.float64)
+
+        def f_blk(x):
+            a = x @ x.T + 96.0 * jnp.eye(48, dtype=jnp.float64)
+            return jnp.sum(blocked_cholesky(a, block=16))
+
+        def f_ref(x):
+            a = x @ x.T + 96.0 * jnp.eye(48, dtype=jnp.float64)
+            return jnp.sum(jnp.linalg.cholesky(a))
+
+        self.assertAllClose(
+            jax.jit(jax.grad(f_blk))(x), jax.grad(f_ref)(x), rtol=1e-7, atol=1e-7
+        )
