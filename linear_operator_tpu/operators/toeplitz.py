@@ -51,9 +51,13 @@ class ToeplitzLinearOperator(LinearOperator):
         return (*self.column.shape, self.column.shape[-1])
 
     def _matmul(self, rhs: jax.Array) -> jax.Array:
-        if settings.use_toeplitz.on():
+        n = self.column.shape[-1]
+        if settings.use_toeplitz.on() and n >= settings.toeplitz_fft_min_size.value():
             return toeplitz_matmul(self.column, rhs)
-        return jnp.matmul(self.to_dense(), rhs)
+        # Dense path: small Toeplitz matrices ride the MXU far faster than
+        # the FFT pipeline (settings.toeplitz_fft_min_size).  HIGH precision:
+        # this mat-vec feeds CG (see BASELINE.md bf16 footgun #2).
+        return jnp.matmul(self.to_dense(), rhs, precision=jax.lax.Precision.HIGH)
 
     def _t_matmul(self, rhs: jax.Array) -> jax.Array:
         return self._matmul(rhs)

@@ -387,6 +387,37 @@ class use_toeplitz(_feature_flag):
     _default = True
 
 
+class pivoted_cholesky_block_size(_value_context):
+    """Pivots selected per sweep in the blocked greedy pivoted Cholesky
+    (TPU-native extension; solvers/pivoted_cholesky.py).  0/1 = strict
+    sequential greedy (reference-parity pivot order,
+    functions/_pivoted_cholesky.py:14-105), which is the default and the
+    measured-fastest choice on the v5e benchmark scale.
+
+    Measured negative result (BASELINE.md, N=1e5 RBF rank 200): although the
+    strict loop is latency-bound (~1.2 ms/rank-step), the blocked variant
+    does NOT beat it there — smooth kernels accept only ~12-19 pivots per
+    sweep before the candidate pool goes stale (greedy selection on a smooth
+    residual landscape is inherently sequential), and each sweep's panel
+    downdate is a skinny matmul paying the MXU 128-lane pad rate.  The
+    blocked path remains useful for rougher spectra / smaller n where full
+    blocks get accepted, and is quality-equivalent (within ~10% trace error
+    of strict greedy; tests/solvers/test_lanczos_slq.py)."""
+
+    _global_value = 0
+
+
+class toeplitz_fft_min_size(_value_context):
+    """Below this Toeplitz size, mat-vecs use a dense HIGH-precision MXU
+    matmul instead of the circulant-embedding FFT (TPU-native extension:
+    measured on v5e, a 256x256 dense factor matmul costs ~0.1 ms of MXU time
+    while the equivalent FFT pipeline costs ~28 ms inside the SKI mat-vec —
+    FFT only wins for long columns).  Set to 0 to always use FFT (when
+    ``use_toeplitz`` is on)."""
+
+    _global_value = 4096
+
+
 class verbose_linalg(_feature_flag):
     """Debug-log every expensive linalg call (reference settings.py:587-605)."""
 

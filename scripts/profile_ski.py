@@ -72,8 +72,12 @@ def main():
             out = linear_cg(K._matmul, y[..., None], max_iter=100)
         return out
 
-    sol = jax.jit(lambda x, y: cg_iters(x, y))(x, y)
-    print("cg solution sum:", float(jnp.sum(sol)), flush=True)
+    res = jax.jit(lambda x, y: cg_iters(x, y))(x, y)
+    print(
+        f"cg num_iters={int(res.num_iters)} "
+        f"max_resid={float(jnp.max(res.residual_norm)):.3e}",
+        flush=True,
+    )
 
     # 3. isolated mat-vec on 11 columns
     v11 = jax.random.normal(jax.random.PRNGKey(2), (n, 11), dtype=jnp.float32)

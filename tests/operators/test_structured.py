@@ -74,7 +74,7 @@ class TestToeplitzFFTvsDense(BaseTestCase):
         col = col.at[0].add(10.0)
         op = ToeplitzLinearOperator(col)
         rhs = jax.random.normal(self.key, (32, 4), dtype=jnp.float64)
-        with settings.use_toeplitz(True):
+        with settings.use_toeplitz(True), settings.toeplitz_fft_min_size(0):
             fft_result = op @ rhs
         with settings.use_toeplitz(False):
             dense_result = op @ rhs
@@ -231,3 +231,26 @@ class TestInterpolated(BaseTestCase):
         for leaf, g in zip(leaves, grads):
             if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.inexact):
                 self.assertTrue(bool(jnp.all(jnp.isfinite(g))))
+
+
+class TestToeplitzFFTCutoff(BaseTestCase):
+    def test_small_toeplitz_uses_dense_mxu_path(self):
+        """Below settings.toeplitz_fft_min_size the mat-vec must take the
+        dense MXU path (TPU crossover; operators/toeplitz.py)."""
+        from unittest import mock
+
+        from linear_operator_tpu import settings
+        import linear_operator_tpu.operators.toeplitz as tp_mod
+
+        col = _spd_toeplitz_column(8)
+        op = ToeplitzLinearOperator(col)
+        rhs = jax.random.normal(self.key, (8, 2), dtype=col.dtype)
+        with mock.patch.object(
+            tp_mod, "toeplitz_matmul", wraps=tp_mod.toeplitz_matmul
+        ) as fft_mock:
+            with settings.toeplitz_fft_min_size(64):
+                _ = op @ rhs
+            self.assertFalse(fft_mock.called)
+            with settings.toeplitz_fft_min_size(4):
+                _ = op @ rhs
+            self.assertTrue(fft_mock.called)

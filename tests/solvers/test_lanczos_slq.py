@@ -114,3 +114,67 @@ class TestPivotedCholesky(BaseTestCase):
         g = jax.grad(f)(K)
         # d trace(K)/dK = I
         self.assertAllClose(g, jnp.eye(10), rtol=1e-4, atol=1e-4)
+
+
+class TestBlockedPivotedCholesky(BaseTestCase):
+    """Blocked greedy variant (solvers/pivoted_cholesky.py
+    _blocked_pivoted_cholesky; settings.pivoted_cholesky_block_size)."""
+
+    def test_full_rank_exact(self):
+        K = _psd(self.key, n=24, cond=25.0)
+        op = DenseLinearOperator(K)
+        L = jax.jit(lambda: pivoted_cholesky(op, 24, error_tol=0.0, block_size=8))()
+        self.assertAllClose(L @ L.T, K, rtol=1e-5, atol=1e-5)
+
+    def test_quality_matches_strict_greedy(self):
+        # kernel-like PSD matrix with decaying spectrum: blocked trace error
+        # at the same rank must be within 1.5x of strict greedy
+        x = jnp.linspace(0.0, 4.0, 160, dtype=jnp.float64)[:, None]
+        K = jnp.exp(-0.5 * (x - x.T) ** 2) + 1e-8 * jnp.eye(160)
+        op = DenseLinearOperator(K)
+        strict = pivoted_cholesky(op, 24, error_tol=0.0)
+        blocked = pivoted_cholesky(op, 24, error_tol=0.0, block_size=8)
+        err_s = jnp.trace(K - strict @ strict.T)
+        err_b = jnp.trace(K - blocked @ blocked.T)
+        self.assertGreaterEqual(float(err_b), -1e-8)
+        self.assertLessEqual(float(err_b), 1.5 * float(err_s) + 1e-10)
+
+    def test_batched_and_setting(self):
+        from linear_operator_tpu import settings
+
+        K = _psd(self.key, 3, n=16, cond=10.0)
+        op = DenseLinearOperator(K)
+        with settings.pivoted_cholesky_block_size(4):
+            L = jax.jit(lambda: pivoted_cholesky(op, 16, error_tol=0.0))()
+        self.assertAllClose(L @ jnp.swapaxes(L, -1, -2), K, rtol=1e-5, atol=1e-5)
+
+    def test_f32_late_sweep_stability(self):
+        """Regression: late sweeps must take the in-pool residual diagonal
+        from the FRESH panel Gram, not the incrementally tracked d — f32
+        cancellation pushes the two apart and a stale dp > 0 over a
+        near-zero fresh Gram diagonal NaN'd the triangular solve
+        (solvers/pivoted_cholesky.py _blocked_pivoted_cholesky)."""
+        from linear_operator_tpu.operators.kernel import rbf_kernel_operator
+        from linear_operator_tpu.solvers.pivoted_cholesky import (
+            _blocked_pivoted_cholesky,
+        )
+
+        x = jax.random.uniform(self.key, (4000, 3), dtype=jnp.float32)
+        K = rbf_kernel_operator(x, lengthscale=0.5, outputscale=1.0)
+        L = jax.jit(
+            lambda: _blocked_pivoted_cholesky(K, 200, 0.0, 128, threshold=0.1)
+        )()
+        self.assertTrue(bool(jnp.all(jnp.isfinite(L))))
+        # trace of K - L L^T must be tiny and non-negative-ish at rank 200
+        resid = float(4000.0 - jnp.sum(L * L))
+        self.assertLess(abs(resid), 4000.0 * 1e-2)
+
+    def test_low_rank_degenerate_block(self):
+        # rank-2 matrix factored with rank 8, block 4: degenerate pivots in
+        # a block must yield zero columns, not NaNs
+        u = jax.random.normal(self.key, (40, 2), dtype=jnp.float64)
+        K = u @ u.T
+        op = DenseLinearOperator(K)
+        L = pivoted_cholesky(op, 8, error_tol=0.0, block_size=4)
+        self.assertTrue(bool(jnp.all(jnp.isfinite(L))))
+        self.assertAllClose(L @ L.T, K, rtol=1e-4, atol=1e-4)
