@@ -6,6 +6,7 @@ CG/SLQ marginal likelihood — so the engine has an end-to-end consumer, a
 training step for multi-chip sharding, and a benchmark target.
 """
 
+from .classification import SVGPClassification, gauss_hermite_expectation
 from .gp import ExactGPRegression, GPParams
 from .multitask import MultitaskGPParams, MultitaskGPRegression
 from .sgpr import SGPRParams, SGPRRegression
@@ -22,7 +23,9 @@ __all__ = [
     "SGPRRegression",
     "SKIGPRegression",
     "SKIParams",
+    "SVGPClassification",
     "SVGPParams",
     "SVGPRegression",
+    "gauss_hermite_expectation",
     "make_grid",
 ]

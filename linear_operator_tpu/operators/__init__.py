@@ -30,6 +30,8 @@ from .kernel import (
     rbf_kernel_operator,
     rq_covar,
     rq_kernel_operator,
+    spectral_mixture_covar,
+    spectral_mixture_kernel_operator,
 )
 from .kronecker import (
     KroneckerProductDiagLinearOperator,
@@ -109,6 +111,8 @@ __all__ = [
     "rq_kernel_operator",
     "rbf_covar",
     "rbf_kernel_operator",
+    "spectral_mixture_covar",
+    "spectral_mixture_kernel_operator",
     "to_dense",
     "to_linear_operator",
 ]

@@ -421,3 +421,99 @@ class TestNewCovariances(BaseTestCase):
         )(x1, v)
         self.assertAllClose(g1, e1, rtol=1e-3, atol=1e-4)
         self.assertAllClose(gv, ev, rtol=1e-3, atol=1e-4)
+
+
+class TestSpectralMixture(BaseTestCase):
+    """Spectral mixture kernel (Wilson & Adams 2013; GPyTorch
+    SpectralMixtureKernel counterpart, operators/kernel.py)."""
+
+    def _dense(self, x1, x2, w, mu, s):
+        tau = x1[:, None, :] - x2[None, :, :]
+        # (n, m, Q): product over dims of exp * cos, then weighted sum
+        e = jnp.exp(
+            -2.0 * jnp.pi**2 * tau[..., None, :] ** 2 * s[None, None] ** 2
+        )
+        c = jnp.cos(2.0 * jnp.pi * mu[None, None] * tau[..., None, :])
+        return jnp.sum(w * jnp.prod(e * c, axis=-1), axis=-1)
+
+    def test_dense_golden(self):
+        from linear_operator_tpu.operators import spectral_mixture_kernel_operator
+
+        x = jax.random.normal(jax.random.PRNGKey(180), (15, 2))
+        w = jnp.asarray([0.6, 1.1, 0.3])
+        mu = jax.random.uniform(jax.random.PRNGKey(181), (3, 2)) * 0.5
+        s = jax.random.uniform(jax.random.PRNGKey(182), (3, 2)) * 0.4 + 0.1
+        op = spectral_mixture_kernel_operator(x, weights=w, means=mu, scales=s)
+        self.assertAllClose(
+            op.to_dense(), self._dense(x, x, w, mu, s), rtol=1e-6, atol=1e-8
+        )
+
+    def test_reduces_to_rbf(self):
+        """Q=1, mu=0: k(tau) = w exp(-2 pi^2 s^2 ||tau||^2) — an RBF with
+        lengthscale 1/(2 pi s)."""
+        from linear_operator_tpu.operators import (
+            rbf_kernel_operator,
+            spectral_mixture_kernel_operator,
+        )
+
+        x = jax.random.normal(jax.random.PRNGKey(183), (12, 3))
+        s = 0.3
+        op = spectral_mixture_kernel_operator(
+            x,
+            weights=jnp.asarray([1.7]),
+            means=jnp.zeros((1, 3)),
+            scales=jnp.full((1, 3), s),
+        )
+        rbf = rbf_kernel_operator(
+            x,
+            lengthscale=jnp.asarray(1.0 / (2.0 * jnp.pi * s)),
+            outputscale=jnp.asarray(1.7),
+        )
+        self.assertAllClose(op.to_dense(), rbf.to_dense(), rtol=1e-6, atol=1e-8)
+
+    def test_psd_and_solve(self):
+        from linear_operator_tpu.operators import spectral_mixture_kernel_operator
+
+        x = jnp.linspace(0.0, 6.0, 40, dtype=jnp.float64)[:, None]
+        op = spectral_mixture_kernel_operator(
+            x,
+            weights=jnp.asarray([1.0, 0.5]),
+            means=jnp.asarray([[0.3], [1.2]]),
+            scales=jnp.asarray([[0.2], [0.4]]),
+        )
+        evals = jnp.linalg.eigvalsh(op.to_dense())
+        self.assertGreater(float(evals.min()), -1e-10)
+        rhs = jax.random.normal(self.key, (40,), dtype=jnp.float64)
+        sol = op.add_jitter(1e-4).solve(rhs[:, None])
+        self.assertAllClose(
+            (op.to_dense() + 1e-4 * jnp.eye(40)) @ sol[:, 0], rhs,
+            rtol=1e-5, atol=1e-5,
+        )
+
+    def test_hyperparameter_gradients(self):
+        from linear_operator_tpu.operators import spectral_mixture_kernel_operator
+
+        x = jax.random.normal(jax.random.PRNGKey(184), (10, 2))
+        w = jnp.asarray([0.8, 0.4])
+        mu = jnp.asarray([[0.2, 0.5], [0.9, 0.1]])
+        s = jnp.asarray([[0.3, 0.2], [0.15, 0.25]])
+        rhs = jax.random.normal(self.key, (10, 1))
+
+        def f(w_, mu_, s_):
+            o = spectral_mixture_kernel_operator(
+                x, weights=w_, means=mu_, scales=s_
+            )
+            return jnp.sum((o @ rhs) ** 2)
+
+        grads = jax.grad(f, argnums=(0, 1, 2))(w, mu, s)
+        eps = 1e-5
+        for argnum, (val, idx) in enumerate(
+            ((w, (1,)), (mu, (0, 1)), (s, (1, 0)))
+        ):
+            pert = jnp.zeros_like(val).at[idx].set(eps)
+            args_up = [w, mu, s]
+            args_dn = [w, mu, s]
+            args_up[argnum] = val + pert
+            args_dn[argnum] = val - pert
+            fd = (f(*args_up) - f(*args_dn)) / (2 * eps)
+            self.assertAllClose(grads[argnum][idx], fd, rtol=1e-4, atol=1e-6)
