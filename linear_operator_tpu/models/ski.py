@@ -18,11 +18,13 @@ import jax
 import jax.numpy as jnp
 
 from ..operators import (
+    GridInterpolatedLinearOperator,
     InterpolatedLinearOperator,
     KroneckerProductLinearOperator,
     ToeplitzLinearOperator,
 )
 from ..functions import inv_quad_logdet, solve
+from ..utils.grid_interp import grid_interp_feasible
 
 
 class GridSpec(NamedTuple):
@@ -38,13 +40,9 @@ def make_grid(x: jax.Array, sizes: Sequence[int], pad: float = 0.1) -> GridSpec:
     return GridSpec(mins - pad * span, maxs + pad * span, tuple(int(s) for s in sizes))
 
 
-def linear_interp_weights(x: jax.Array, grid: GridSpec):
-    """Per-point 2^D linear interpolation (indices, values) onto the flat grid.
-
-    x: (n, D) -> indices/values (n, 2^D); flat index uses row-major mixed
-    radix over the per-dim grids.
-    """
-    n, D = x.shape
+def linear_interp_weights_per_dim(x: jax.Array, grid: GridSpec):
+    """Per-dim linear interpolation stencils: tuples of (n, 2) indices/weights."""
+    D = x.shape[-1]
     idx_list, w_list = [], []
     for d in range(D):
         m = grid.sizes[d]
@@ -54,6 +52,17 @@ def linear_interp_weights(x: jax.Array, grid: GridSpec):
         frac = pos - i0
         idx_list.append(jnp.stack([i0, i0 + 1], axis=-1))  # (n, 2)
         w_list.append(jnp.stack([1.0 - frac, frac], axis=-1))  # (n, 2)
+    return tuple(idx_list), tuple(w_list)
+
+
+def linear_interp_weights(x: jax.Array, grid: GridSpec):
+    """Per-point 2^D linear interpolation (indices, values) onto the flat grid.
+
+    x: (n, D) -> indices/values (n, 2^D); flat index uses row-major mixed
+    radix over the per-dim grids.
+    """
+    n, D = x.shape
+    idx_list, w_list = linear_interp_weights_per_dim(x, grid)
 
     # outer product over dims -> (n, 2^D)
     flat_idx = idx_list[0]
@@ -114,6 +123,22 @@ class SKIGPRegression:
 
     def covariance(self, params: SKIParams, x1, x2=None):
         k_grid = self.grid_operator(params)
+        # one-hot MXU interpolation engine when the panel fits (D <= 2 or
+        # small grids); flat gather/scatter otherwise (utils/grid_interp.py)
+        if grid_interp_feasible(self.grid.sizes, 16):
+            li, lv = linear_interp_weights_per_dim(x1, self.grid)
+            if x2 is None:
+                ri, rv = li, lv
+            else:
+                ri, rv = linear_interp_weights_per_dim(x2, self.grid)
+            return GridInterpolatedLinearOperator(
+                k_grid,
+                li,
+                tuple(v.astype(k_grid.dtype) for v in lv),
+                ri,
+                tuple(v.astype(k_grid.dtype) for v in rv),
+                self.grid.sizes,
+            )
         li, lv = linear_interp_weights(x1, self.grid)
         if x2 is None:
             ri, rv = li, lv

@@ -17,6 +17,7 @@ from .constant_mul import ConstantMulLinearOperator
 from .dense import DenseLinearOperator
 from .diag import ConstantDiagLinearOperator, DiagLinearOperator
 from .identity import IdentityLinearOperator
+from .grid_interpolated import GridInterpolatedLinearOperator
 from .interpolated import InterpolatedLinearOperator, InterpolationMatrix
 from .kernel import (
     KernelLinearOperator,
@@ -73,6 +74,7 @@ __all__ = [
     "DenseLinearOperator",
     "DiagLinearOperator",
     "IdentityLinearOperator",
+    "GridInterpolatedLinearOperator",
     "InterpolatedLinearOperator",
     "InterpolationMatrix",
     "KeOpsLinearOperator",
