@@ -24,7 +24,7 @@ from ..operators import (
     ToeplitzLinearOperator,
 )
 from ..functions import inv_quad_logdet, solve
-from ..utils.grid_interp import grid_interp_feasible
+from ..utils.grid_interp import flatten_grid_interp, grid_interp_feasible
 
 
 class GridSpec(NamedTuple):
@@ -52,6 +52,39 @@ def linear_interp_weights_per_dim(x: jax.Array, grid: GridSpec):
         frac = pos - i0
         idx_list.append(jnp.stack([i0, i0 + 1], axis=-1))  # (n, 2)
         w_list.append(jnp.stack([1.0 - frac, frac], axis=-1))  # (n, 2)
+    return tuple(idx_list), tuple(w_list)
+
+
+def cubic_interp_weights_per_dim(x: jax.Array, grid: GridSpec):
+    """Per-dim cubic-convolution stencils (Keys 1981, a=-0.5): (n, 4) each.
+
+    The 4-point stencil is what makes KISS-GP accurate on coarse grids
+    (Wilson & Nickisch 2015 use cubic interpolation); interior weights sum
+    to 1 and reproduce cubics exactly.  Boundary stencil points clamp to the
+    grid, which merges duplicate indices additively — both the scatter and
+    the one-hot engines accumulate them exactly.
+    """
+
+    def keys(s):
+        s = jnp.abs(s)
+        near = (1.5 * s - 2.5) * s * s + 1.0
+        far = ((-0.5 * s + 2.5) * s - 4.0) * s + 2.0
+        return jnp.where(s <= 1.0, near, jnp.where(s < 2.0, far, 0.0))
+
+    D = x.shape[-1]
+    idx_list, w_list = [], []
+    offsets = jnp.arange(-1, 3)  # floor-1 .. floor+2
+    for d in range(D):
+        m = grid.sizes[d]
+        h = (grid.maxs[d] - grid.mins[d]) / (m - 1)
+        pos = jnp.clip((x[:, d] - grid.mins[d]) / h, 0.0, m - 1 - 1e-6)
+        i0 = jnp.floor(pos).astype(jnp.int32)
+        pts = i0[:, None] + offsets[None, :]  # (n, 4) unclamped stencil
+        w = keys(pos[:, None] - pts)  # (n, 4)
+        # renormalize (clamped boundary stencils lose the >=2-away tail)
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
+        idx_list.append(jnp.clip(pts, 0, m - 1).astype(jnp.int32))
+        w_list.append(w)
     return tuple(idx_list), tuple(w_list)
 
 
@@ -92,10 +125,23 @@ def _softplus(x):
 
 
 class SKIGPRegression:
-    """KISS-GP regression with an RBF product kernel on a regular grid."""
+    """KISS-GP regression with an RBF product kernel on a regular grid.
 
-    def __init__(self, grid: GridSpec):
+    ``interp``: "linear" (2-point stencil) or "cubic" (4-point Keys stencil,
+    the Wilson & Nickisch 2015 choice — much lower interpolation error on
+    coarse grids for ~2x the W-application cost).
+    """
+
+    def __init__(self, grid: GridSpec, interp: str = "linear"):
+        if interp not in ("linear", "cubic"):
+            raise ValueError(f"unknown interp {interp!r}")
         self.grid = grid
+        self.interp = interp
+
+    def _interp_weights_per_dim(self, x):
+        if self.interp == "cubic":
+            return cubic_interp_weights_per_dim(x, self.grid)
+        return linear_interp_weights_per_dim(x, self.grid)
 
     def init_params(self, d: int, dtype=jnp.float32) -> SKIParams:
         return SKIParams(
@@ -125,26 +171,20 @@ class SKIGPRegression:
         k_grid = self.grid_operator(params)
         # one-hot MXU interpolation engine when the panel fits (D <= 2 or
         # small grids); flat gather/scatter otherwise (utils/grid_interp.py)
-        if grid_interp_feasible(self.grid.sizes, 16):
-            li, lv = linear_interp_weights_per_dim(x1, self.grid)
-            if x2 is None:
-                ri, rv = li, lv
-            else:
-                ri, rv = linear_interp_weights_per_dim(x2, self.grid)
-            return GridInterpolatedLinearOperator(
-                k_grid,
-                li,
-                tuple(v.astype(k_grid.dtype) for v in lv),
-                ri,
-                tuple(v.astype(k_grid.dtype) for v in rv),
-                self.grid.sizes,
-            )
-        li, lv = linear_interp_weights(x1, self.grid)
+        li, lv = self._interp_weights_per_dim(x1)
         if x2 is None:
             ri, rv = li, lv
         else:
-            ri, rv = linear_interp_weights(x2, self.grid)
-        return InterpolatedLinearOperator(k_grid, li, lv.astype(k_grid.dtype), ri, rv.astype(k_grid.dtype))
+            ri, rv = self._interp_weights_per_dim(x2)
+        lv = tuple(v.astype(k_grid.dtype) for v in lv)
+        rv = tuple(v.astype(k_grid.dtype) for v in rv)
+        if grid_interp_feasible(self.grid.sizes, 16):
+            return GridInterpolatedLinearOperator(
+                k_grid, li, lv, ri, rv, self.grid.sizes
+            )
+        fli, flv = flatten_grid_interp(li, lv, self.grid.sizes)
+        fri, frv = flatten_grid_interp(ri, rv, self.grid.sizes)
+        return InterpolatedLinearOperator(k_grid, fli, flv, fri, frv)
 
     def train_operator(self, params: SKIParams, x):
         return self.covariance(params, x).add_diagonal(_softplus(params.raw_noise))
@@ -160,3 +200,18 @@ class SKIGPRegression:
         alpha = solve(K, y[..., None])
         k_star = self.covariance(params, x_star, x)
         return (k_star @ alpha)[..., 0]
+
+    def posterior(self, params: SKIParams, x, y, x_star, *, key=None):
+        """Predictive mean and latent variance at ``x_star`` via the LOVE
+        workflow (Pleiss et al. 2018): a Lanczos inverse root R of the train
+        operator gives var = diag(K_ss) - ||k_*^T R||^2 row-wise — O(n k)
+        once, O(m 2^D k) per query block, never an m x n dense block."""
+        K = self.train_operator(params, x)
+        k_star = self.covariance(params, x_star, x)
+        alpha = solve(K, y[..., None])
+        mean = (k_star @ alpha)[..., 0]
+        r_inv = K.root_inv_decomposition(key=key).root.to_dense()  # (n, k)
+        v = k_star @ r_inv  # (m, k)
+        k_ss_diag = self.covariance(params, x_star).diagonal()
+        var = k_ss_diag - jnp.sum(v * v, axis=-1)
+        return mean, jnp.maximum(var, 0.0)

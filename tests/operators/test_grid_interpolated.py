@@ -216,3 +216,83 @@ class TestSKIGridToeplitzBase(BaseTestCase):
         self.assertAllClose(
             K._matmul(rhs), K.to_dense() @ rhs, atol=1e-10
         )
+
+
+class TestCubicInterp(BaseTestCase):
+    def test_weights_sum_to_one_and_clamp(self):
+        from linear_operator_tpu.models.ski import cubic_interp_weights_per_dim
+
+        x = jax.random.uniform(jax.random.PRNGKey(50), (200, 2), jnp.float64)
+        grid = make_grid(x, (9, 7))
+        di, dv = cubic_interp_weights_per_dim(x, grid)
+        for d in range(2):
+            assert di[d].shape == (200, 4)
+            self.assertAllClose(
+                jnp.sum(dv[d], axis=-1), jnp.ones(200, jnp.float64), atol=1e-12
+            )
+            assert int(jnp.min(di[d])) >= 0
+            assert int(jnp.max(di[d])) < grid.sizes[d]
+
+    def test_cubic_reproduces_quadratics_interior(self):
+        # Keys a=-0.5 interpolation reproduces quadratics exactly (interior)
+        # and is third-order accurate in general (Keys 1981, Thm 2)
+        from linear_operator_tpu.models.ski import (
+            GridSpec,
+            cubic_interp_weights_per_dim,
+        )
+
+        m = 33
+        grid = GridSpec(
+            mins=jnp.zeros((1,), jnp.float64),
+            maxs=jnp.ones((1,), jnp.float64),
+            sizes=(m,),
+        )
+        xs = jnp.linspace(0.15, 0.85, 41)[:, None]
+        (idx,), (w,) = cubic_interp_weights_per_dim(xs, grid)
+        g = jnp.linspace(0.0, 1.0, m)
+        f = lambda t: 2.0 * t**2 - t + 0.3
+        interp = jnp.sum(w * f(g)[idx], axis=-1)
+        self.assertAllClose(interp, f(xs[:, 0]), atol=1e-12)
+        fc = lambda t: 2.0 * t**3 - t**2 + 0.5 * t - 0.3
+        interp_c = jnp.sum(w * fc(g)[idx], axis=-1)
+        self.assertAllClose(interp_c, fc(xs[:, 0]), atol=1e-4)  # O(h^3)
+
+    def test_cubic_beats_linear_on_smooth_function(self):
+        x = jax.random.uniform(jax.random.PRNGKey(51), (300, 1), jnp.float64)
+        grid = make_grid(x, (16,))
+        f = lambda t: jnp.sin(4.0 * t)
+        g = jnp.linspace(float(grid.mins[0]), float(grid.maxs[0]), 16)
+        fg = f(g)
+
+        from linear_operator_tpu.models.ski import cubic_interp_weights_per_dim
+
+        (li,), (lw,) = linear_interp_weights_per_dim(x, grid)
+        (ci,), (cw,) = cubic_interp_weights_per_dim(x, grid)
+        err_lin = jnp.max(jnp.abs(jnp.sum(lw * fg[li], -1) - f(x[:, 0])))
+        err_cub = jnp.max(jnp.abs(jnp.sum(cw * fg[ci], -1) - f(x[:, 0])))
+        assert float(err_cub) < 0.2 * float(err_lin), (err_lin, err_cub)
+
+    def test_ski_cubic_end_to_end(self):
+        x = jax.random.uniform(jax.random.PRNGKey(52), (40, 2), jnp.float64)
+        y = jnp.sin(3 * x[:, 0])
+        grid = make_grid(x, (8, 9))
+        model = SKIGPRegression(grid, interp="cubic")
+        params = model.init_params(2, dtype=jnp.float64)
+        K = model.covariance(params, x)
+        assert isinstance(K, GridInterpolatedLinearOperator)
+        dense = K.to_dense()
+        self.assertAllClose(dense, dense.T, atol=1e-12)
+        val, grads = jax.value_and_grad(lambda p: model.neg_mll(p, x, y))(params)
+        assert np.isfinite(float(val))
+
+        # cubic SKI approximates the exact RBF kernel better than linear
+        ls = jax.nn.softplus(params.raw_lengthscale) + 1e-6
+        os_ = jax.nn.softplus(params.raw_outputscale) + 1e-6
+        diff = (x[:, None, :] - x[None, :, :]) / ls
+        K_exact = os_ * jnp.exp(-0.5 * jnp.sum(diff**2, axis=-1))
+        lin = SKIGPRegression(grid, interp="linear")
+        K_lin = lin.covariance(params, x).to_dense()
+        err_cub = float(jnp.max(jnp.abs(dense - K_exact)))
+        err_lin = float(jnp.max(jnp.abs(K_lin - K_exact)))
+        # coarse 8x9 grid: cubic ~1.8x better; the gap widens with grid size
+        assert err_cub < 0.7 * err_lin, (err_lin, err_cub)

@@ -71,3 +71,27 @@ class TestSKI(BaseTestCase):
         params = model.init_params(1, dtype=jnp.float64)
         mean = model.posterior_mean(params, x, y, x)
         self.assertAllClose(mean, y, rtol=0.2, atol=0.2)
+
+    def test_ski_posterior_variance_matches_dense(self):
+        """LOVE-style SKI predictive variance vs the exact dense computation
+        on the same (interpolated) covariance."""
+        n = 60
+        x = jax.random.uniform(self.key, (n, 1), dtype=jnp.float64) * 2 - 1
+        y = jnp.sin(3.0 * x[:, 0])
+        xs = jnp.linspace(-0.9, 0.9, 13, dtype=jnp.float64)[:, None]
+        model = SKIGPRegression(make_grid(x, (64,)), interp="cubic")
+        params = model.init_params(1, dtype=jnp.float64)
+
+        with settings.max_cholesky_size(0), settings.max_root_decomposition_size(80), \
+             settings.cg_tolerance(1e-12), settings.max_cg_iterations(300):
+            mean, var = model.posterior(params, x, y, xs)
+
+        K = model.train_operator(params, x).to_dense()
+        ks = model.covariance(params, xs, x).to_dense()
+        kss = model.covariance(params, xs).to_dense()
+        sol = jnp.linalg.solve(K, ks.T)
+        mean_d = ks @ jnp.linalg.solve(K, y)
+        var_d = jnp.diag(kss) - jnp.sum(ks * sol.T, axis=-1)
+        self.assertAllClose(mean, mean_d, rtol=1e-5, atol=1e-7)
+        self.assertAllClose(var, var_d, rtol=5e-2, atol=1e-4)
+        self.assertTrue(bool(jnp.all(var >= 0)))
