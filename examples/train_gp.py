@@ -89,6 +89,17 @@ def main() -> None:
     mean = ski.posterior_mean(params, x, y, x_star)
     print(f"  posterior mean range [{float(mean.min()):.2f}, {float(mean.max()):.2f}]")
 
+    print("== DKL: GP on learned MLP features (end-to-end grads)")
+    from linear_operator_tpu.models import DeepKernelGPRegression
+
+    dkl = DeepKernelGPRegression(hidden=(32, 16, 2))
+    params = dkl.init_params(d_in=1, key=jax.random.PRNGKey(7))
+    params = train(
+        lambda p_, key=key: dkl.neg_mll(p_, x, y, key=key), params, args.steps
+    )
+    mean, var = dkl.posterior(params, x, y, x_star)
+    print(f"  posterior mean range [{float(mean.min()):.2f}, {float(mean.max()):.2f}]")
+
     print("== SGPR: collapsed variational bound, m=64 inducing points")
     sgpr = SGPRRegression()
     params = sgpr.init_params(x, num_inducing=64)

@@ -7,6 +7,7 @@ training step for multi-chip sharding, and a benchmark target.
 """
 
 from .classification import SVGPClassification, gauss_hermite_expectation
+from .dkl import DeepKernelGPRegression, DKLParams, MLPParams, init_mlp, mlp_features
 from .gp import ExactGPRegression, GPParams
 from .multitask import MultitaskGPParams, MultitaskGPRegression
 from .sgpr import SGPRParams, SGPRRegression
@@ -14,9 +15,12 @@ from .ski import GridSpec, SKIGPRegression, SKIParams, make_grid
 from .svgp import SVGPParams, SVGPRegression
 
 __all__ = [
+    "DKLParams",
+    "DeepKernelGPRegression",
     "ExactGPRegression",
     "GPParams",
     "GridSpec",
+    "MLPParams",
     "MultitaskGPParams",
     "MultitaskGPRegression",
     "SGPRParams",
@@ -27,5 +31,7 @@ __all__ = [
     "SVGPParams",
     "SVGPRegression",
     "gauss_hermite_expectation",
+    "init_mlp",
     "make_grid",
+    "mlp_features",
 ]
