@@ -71,7 +71,31 @@ def _pad_block(arrs, n, block):
     if pad:
         arrs = [jnp.pad(a, ((0, pad), (0, 0))) for a in arrs]
     nb = (n + pad) // block
-    return [a.reshape(nb, block, a.shape[-1]) for a in arrs]
+    return _maybe_shard_blocks([a.reshape(nb, block, a.shape[-1]) for a in arrs])
+
+
+def _maybe_shard_blocks(arrs):
+    """Row-shard each (nb, block, k) blocked array over the ambient mesh's
+    ``model`` axis (the matrix-N axis, parallel/sharding.py).
+
+    The point dimension is the O(n) part of SKI: sharding the within-block
+    rows makes every one-hot panel and the (m0, block) x (block, cols)
+    contraction SPMD — GSPMD turns the block matmul into per-device partial
+    products + one psum per scan step (W^T v) and leaves W g fully local.
+    No-op outside a mesh context (single-chip and CPU tests).
+    """
+    try:
+        from jax._src.mesh import thread_resources
+
+        mesh = thread_resources.env.physical_mesh
+        if not mesh.axis_names or "model" not in mesh.axis_names:
+            return arrs
+    except Exception:  # pragma: no cover
+        return arrs
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    sh = NamedSharding(mesh, PartitionSpec(None, "model", None))
+    return [jax.lax.with_sharding_constraint(a, sh) for a in arrs]
 
 
 def grid_t_matmul(

@@ -165,3 +165,52 @@ class TestShardingPartitions(BaseTestCase):
         # and the loss output is a replicated scalar (psum'd, not partial)
         out_shardings = jax.tree_util.tree_leaves(compiled.output_shardings)
         self.assertTrue(len(out_shardings) > 0)
+
+
+class TestShardedSKI(BaseTestCase):
+    """SKI/grid-interp on the mesh: the one-hot engine's blocked panels are
+    row-sharded over the ``model`` axis (utils/grid_interp.py
+    _maybe_shard_blocks) — the SKI analog of the row-sharded kernel mat-vec."""
+
+    def _setup(self, interp="linear"):
+        from linear_operator_tpu.models import SKIGPRegression, make_grid
+
+        n = 512
+        x = jax.random.uniform(jax.random.PRNGKey(0), (n, 2), jnp.float32)
+        y = jnp.sin(5.0 * x[:, 0]) * jnp.cos(3.0 * x[:, 1])
+        grid = make_grid(x, (16, 8))
+        model = SKIGPRegression(grid, interp=interp)
+        params = model.init_params(2)
+
+        def loss(p):
+            with settings.max_cholesky_size(0), settings.num_trace_samples(4), \
+                 settings.max_cg_iterations(30), settings.cg_tolerance(1e-6), \
+                 settings.min_preconditioning_size(10**9), \
+                 settings.max_lanczos_quadrature_iterations(10):
+                return model.neg_mll(p, x, y, key=jax.random.PRNGKey(1))
+
+        return loss, params
+
+    def test_sharded_ski_matches_unsharded(self):
+        loss, params = self._setup()
+        g_fn = jax.jit(jax.value_and_grad(loss))
+        l_ref, g_ref = g_fn(params)
+        mesh = make_mesh(8, model=8)
+        with mesh:
+            l_sh, g_sh = jax.jit(jax.value_and_grad(loss))(params)
+        self.assertAllClose(jnp.asarray(l_sh), jnp.asarray(l_ref), rtol=1e-4, atol=1e-5)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_sh), jax.tree_util.tree_leaves(g_ref)
+        ):
+            self.assertAllClose(a, b, rtol=1e-3, atol=1e-4)
+
+    def test_sharded_ski_cubic_and_collectives(self):
+        loss, params = self._setup(interp="cubic")
+        mesh = make_mesh(8, model=4)
+        with mesh:
+            compiled = jax.jit(jax.grad(loss)).lower(params).compile()
+            g = jax.jit(jax.grad(loss))(params)
+        hlo = compiled.as_text()
+        self.assertIn("all-reduce", hlo)
+        for leaf in jax.tree_util.tree_leaves(g):
+            self.assertTrue(bool(jnp.all(jnp.isfinite(leaf))))
