@@ -86,10 +86,37 @@ class MultitaskGPRegression:
         m = x_star.shape[0]
         K = self.train_operator(params, x)
         alpha = solve(K, y.reshape(n * T)[:, None])  # (nT, 1)
-        k_star = KroneckerProductLinearOperator(
+        k_star = self._cross_covar(params, x_star, x)
+        return (k_star @ alpha).reshape(m, T)
+
+    def _cross_covar(self, params: MultitaskGPParams, x_star, x):
+        """K(x_star, x) (x) K_tt as a lazy rectangular Kronecker operator."""
+        return KroneckerProductLinearOperator(
             (
                 DenseLinearOperator(self.data_covar(params, x_star, x)),
                 DenseLinearOperator(self.task_covar(params)),
             )
         )
-        return (k_star @ alpha).reshape(m, T)
+
+    def posterior(self, params: MultitaskGPParams, x, y, x_star, *, key=None):
+        """Predictive mean and per-task latent variance at ``x_star``.
+
+        Variance row-wise via an inverse root R of the train operator (the
+        LOVE pattern): var = diag(K_** (x) K_tt) - row_norms(K_* R)^2 —
+        the (mT, nT) cross block is applied lazily through the Kronecker
+        sweep, never materialized.
+        """
+        n, T = y.shape
+        m = x_star.shape[0]
+        K = self.train_operator(params, x)
+        alpha = solve(K, y.reshape(n * T)[:, None])
+        k_star = self._cross_covar(params, x_star, x)
+        mean = (k_star @ alpha).reshape(m, T)
+        r_inv = K.root_inv_decomposition(key=key).root.to_dense()  # (nT, k)
+        v = k_star @ r_inv  # (mT, k)
+        prior_diag = jnp.kron(
+            jnp.diagonal(self.data_covar(params, x_star)),
+            jnp.diagonal(self.task_covar(params)),
+        )
+        var = prior_diag - jnp.sum(v * v, axis=-1)
+        return mean, jnp.maximum(var, 0.0).reshape(m, T)

@@ -4,6 +4,7 @@ prediction."""
 import jax
 import jax.numpy as jnp
 
+from linear_operator_tpu import settings
 from linear_operator_tpu.models import MultitaskGPRegression
 from linear_operator_tpu.test.base_test_case import BaseTestCase
 
@@ -65,3 +66,30 @@ class TestMultitaskGP(BaseTestCase):
         Ks = jnp.kron(model.data_covar(params, x_star, x), Ktt)
         mean_dense = (Ks @ jnp.linalg.solve(K, y.reshape(-1))).reshape(5, T)
         self.assertAllClose(mean, mean_dense, rtol=1e-6, atol=1e-7)
+
+
+class TestMultitaskPosteriorVariance(BaseTestCase):
+    def test_posterior_variance_matches_dense(self):
+        n, T, m = 30, 3, 9
+        kx, ky = jax.random.split(jax.random.PRNGKey(4))
+        x = jax.random.normal(kx, (n, 2), jnp.float64)
+        y = jnp.stack(
+            [jnp.sin(2 * x[:, 0]), jnp.cos(x[:, 1]), x[:, 0] * x[:, 1]], axis=-1
+        )
+        xs = jax.random.normal(ky, (m, 2), jnp.float64)
+        model = MultitaskGPRegression(num_tasks=T, task_rank=2)
+        params = model.init_params(2, dtype=jnp.float64)
+
+        with settings.max_root_decomposition_size(n * T), \
+             settings.max_cholesky_size(1000):
+            mean, var = model.posterior(params, x, y, xs)
+
+        K = model.train_operator(params, x).to_dense()
+        ks = jnp.kron(model.data_covar(params, xs, x), model.task_covar(params))
+        kss = jnp.kron(model.data_covar(params, xs), model.task_covar(params))
+        sol = jnp.linalg.solve(K, ks.T)
+        mean_d = (ks @ jnp.linalg.solve(K, y.reshape(-1))).reshape(m, T)
+        var_d = (jnp.diag(kss) - jnp.sum(ks * sol.T, axis=-1)).reshape(m, T)
+        self.assertAllClose(mean, mean_d, rtol=1e-6, atol=1e-8)
+        self.assertAllClose(var, var_d, rtol=5e-2, atol=1e-4)
+        self.assertTrue(bool(jnp.all(var >= 0)))
