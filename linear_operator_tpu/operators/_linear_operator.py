@@ -143,10 +143,17 @@ class LinearOperator:
 
     @property
     def dtype(self):
-        leaves = jax.tree_util.tree_leaves(self)
-        if not leaves:
+        # Stop at nested operators and use THEIR dtype: operators whose only
+        # array leaves are indices (Permutation, ...) report a float dtype
+        # via an override, and raw index leaves must not make a composite
+        # integer-typed (add_diagonal etc. cast to self.dtype).
+        sub = jax.tree_util.tree_flatten(
+            self, is_leaf=lambda x: x is not self and isinstance(x, LinearOperator)
+        )[0]
+        dtypes = [leaf.dtype for leaf in sub]
+        if not dtypes:
             return jnp.float32
-        return jnp.result_type(*leaves)
+        return jnp.result_type(*dtypes)
 
     @property
     def T(self) -> "LinearOperator":

@@ -13,20 +13,28 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .._pytree import operator_class
+from .._pytree import operator_class, replace, static_field
 from ._linear_operator import LinearOperator
 
 
 @operator_class
 class PermutationLinearOperator(LinearOperator):
     perm: jax.Array  # (*b, n) int — row i of P selects source index perm[i]
+    dtype_: str | None = static_field(default=None)
 
     def _shape(self) -> tuple[int, ...]:
         return (*self.perm.shape, self.perm.shape[-1])
 
     @property
     def dtype(self):
-        return jnp.float32
+        if self.dtype_ is not None:
+            return jnp.dtype(self.dtype_)
+        # canonical float (f64 under x64): the matrix is real 0/1 even
+        # though the only array leaf is the integer permutation
+        return jax.dtypes.canonicalize_dtype(jnp.float64)
+
+    def astype(self, dtype):
+        return replace(self, dtype_=jnp.dtype(dtype).name)
 
     def _inv_perm(self) -> jax.Array:
         # argsort of a permutation is its inverse
@@ -44,7 +52,7 @@ class PermutationLinearOperator(LinearOperator):
         return self._transpose()._matmul(rhs)
 
     def _transpose(self) -> "PermutationLinearOperator":
-        return PermutationLinearOperator(self._inv_perm())
+        return PermutationLinearOperator(self._inv_perm(), dtype_=self.dtype_)
 
     def _solve_structure(self, rhs: jax.Array) -> jax.Array:
         """P^{-1} = P^T (reference :101-133)."""

@@ -1,0 +1,363 @@
+"""Randomized operator-algebra fuzzing.
+
+The per-operator harness (linear_operator_tpu/test/) checks each class in
+isolation; this module builds random NESTED compositions (the way downstream
+code composes the algebra, reference test strategy SURVEY.md section 4) and
+asserts internal consistency against ``to_dense`` ground truth:
+
+  matmul / rmatmul / diagonal / transpose / add_diagonal / getitem slices
+  and, for PSD trees: solve, logdet, inv_quad, root_decomposition.
+
+Seeded and deterministic; 40 general trees + 25 PSD trees per run.
+"""
+
+import unittest
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from linear_operator_tpu import settings
+from linear_operator_tpu.operators import (
+    BatchRepeatLinearOperator,
+    BlockDiagLinearOperator,
+    ConstantDiagLinearOperator,
+    ConstantMulLinearOperator,
+    DenseLinearOperator,
+    DiagLinearOperator,
+    IdentityLinearOperator,
+    KroneckerProductLinearOperator,
+    LinearOperator,
+    LowRankRootLinearOperator,
+    MatmulLinearOperator,
+    MulLinearOperator,
+    PermutationLinearOperator,
+    RootLinearOperator,
+    SumLinearOperator,
+    ToeplitzLinearOperator,
+    TriangularLinearOperator,
+)
+from linear_operator_tpu.test.base_test_case import BaseTestCase
+
+DTYPE = jnp.float64
+
+
+def _psd_dense(rng, n):
+    a = jnp.asarray(rng.standard_normal((n, n)), DTYPE) / np.sqrt(n)
+    return a @ a.T + 0.5 * jnp.eye(n, dtype=DTYPE)
+
+
+def _psd_leaf(rng, key, n):
+    """A random PSD leaf operator of size n."""
+    choice = rng.integers(0, 6)
+    if choice == 0:
+        return DenseLinearOperator(_psd_dense(rng, n))
+    if choice == 1:
+        return DiagLinearOperator(
+            jnp.asarray(rng.uniform(0.3, 2.0, (n,)), DTYPE)
+        )
+    if choice == 2:
+        return ConstantDiagLinearOperator(
+            jnp.asarray([rng.uniform(0.5, 2.0)], DTYPE), n
+        )
+    if choice == 3:
+        return IdentityLinearOperator(n, dtype_="float64")
+    if choice == 4:
+        r = max(1, n // 2)
+        u = jnp.asarray(rng.standard_normal((n, r)), DTYPE)
+        return LowRankRootLinearOperator(DenseLinearOperator(u)).add_diagonal(
+            jnp.asarray(rng.uniform(0.3, 1.0), DTYPE)
+        )
+    # Toeplitz: PSD via an RBF-on-grid first column
+    dist = jnp.arange(n, dtype=DTYPE) * rng.uniform(0.2, 0.6)
+    col = jnp.exp(-0.5 * dist**2) + (0.1 if n > 1 else 0.0) * jnp.eye(n, dtype=DTYPE)[0]
+    return ToeplitzLinearOperator(col)
+
+
+def _psd_tree(rng, key, n, depth):
+    """Random PSD composition of total size n (closed under these rules)."""
+    if depth <= 0:
+        return _psd_leaf(rng, key, n)
+    choice = rng.integers(0, 6)
+    if choice == 0:  # sum of two PSD
+        return _psd_tree(rng, key, n, depth - 1) + _psd_tree(rng, key, n, depth - 1)
+    if choice == 1:  # positive scalar multiple
+        c = jnp.asarray(rng.uniform(0.5, 2.0), DTYPE)
+        return ConstantMulLinearOperator(_psd_tree(rng, key, n, depth - 1), c)
+    if choice == 2:  # add_diagonal
+        return _psd_tree(rng, key, n, depth - 1).add_diagonal(
+            jnp.asarray(rng.uniform(0.2, 1.0, (n,)), DTYPE)
+        )
+    if choice == 3 and n % 2 == 0 and n >= 4:  # Kronecker of PSD factors
+        return KroneckerProductLinearOperator(
+            (_psd_tree(rng, key, 2, depth - 1), _psd_tree(rng, key, n // 2, depth - 1))
+        )
+    if choice == 4 and n % 2 == 0:  # block-diag of a batched PSD base
+        base = DenseLinearOperator(
+            jnp.stack([_psd_dense(rng, n // 2) for _ in range(2)])
+        )
+        return BlockDiagLinearOperator(base)
+    if choice == 5:  # Hadamard product of PSD (Schur product theorem)
+        return MulLinearOperator(
+            _psd_leaf(rng, key, n), _psd_leaf(rng, key, n)
+        )
+    return _psd_leaf(rng, key, n)
+
+
+def _general_leaf(rng, key, n):
+    choice = rng.integers(0, 4)
+    if choice == 0:
+        return DenseLinearOperator(jnp.asarray(rng.standard_normal((n, n)), DTYPE))
+    if choice == 1:
+        return TriangularLinearOperator(
+            DenseLinearOperator(
+                jnp.tril(jnp.asarray(rng.standard_normal((n, n)), DTYPE))
+                + jnp.eye(n, dtype=DTYPE)
+            )
+        )
+    if choice == 2:
+        perm = jnp.asarray(rng.permutation(n), jnp.int64)
+        return PermutationLinearOperator(perm)
+    return _psd_leaf(rng, key, n)
+
+
+def _general_tree(rng, key, n, depth):
+    if depth <= 0:
+        return _general_leaf(rng, key, n)
+    choice = rng.integers(0, 5)
+    if choice == 0:
+        return SumLinearOperator(
+            (_general_tree(rng, key, n, depth - 1), _general_tree(rng, key, n, depth - 1))
+        )
+    if choice == 1:
+        return MatmulLinearOperator(
+            _general_tree(rng, key, n, depth - 1), _general_tree(rng, key, n, depth - 1)
+        )
+    if choice == 2:
+        c = jnp.asarray(rng.standard_normal(), DTYPE)
+        return ConstantMulLinearOperator(_general_tree(rng, key, n, depth - 1), c)
+    if choice == 3:
+        return _general_tree(rng, key, n, depth - 1).transpose(-1, -2)
+    if choice == 4 and n % 2 == 0 and n >= 4:
+        return KroneckerProductLinearOperator(
+            (_general_tree(rng, key, 2, depth - 1), _general_tree(rng, key, n // 2, depth - 1))
+        )
+    return _general_leaf(rng, key, n)
+
+
+class TestFuzzGeneral(BaseTestCase):
+    """Forward-surface consistency of random general compositions."""
+
+    def test_random_trees_consistent_with_dense(self):
+        rng = np.random.default_rng(2026)
+        for trial in range(40):
+            n = int(rng.choice([4, 6, 8]))
+            depth = int(rng.integers(1, 4))
+            op = _general_tree(rng, self.key, n, depth)
+            assert isinstance(op, LinearOperator), type(op)
+            dense = op.to_dense()
+            msg = f"trial {trial}: {type(op).__name__} n={n} depth={depth}"
+            self.assertEqual(dense.shape, op.shape, msg)
+
+            rhs = jnp.asarray(rng.standard_normal((op.shape[-1], 3)), DTYPE)
+            self.assertAllClose(op @ rhs, dense @ rhs, rtol=1e-9, atol=1e-9, msg=msg)
+
+            lhs = jnp.asarray(rng.standard_normal((2, op.shape[-2])), DTYPE)
+            self.assertAllClose(lhs @ op, lhs @ dense, rtol=1e-9, atol=1e-9, msg=msg)
+
+            self.assertAllClose(
+                op.diagonal(), jnp.diagonal(dense), rtol=1e-9, atol=1e-9, msg=msg
+            )
+            self.assertAllClose(
+                op.transpose(-1, -2).to_dense(), dense.T, rtol=1e-9, atol=1e-9, msg=msg
+            )
+            d = jnp.asarray(rng.uniform(0.1, 1.0, (op.shape[-1],)), DTYPE)
+            if op.shape[-1] == op.shape[-2]:
+                self.assertAllClose(
+                    op.add_diagonal(d).to_dense(),
+                    dense + jnp.diag(d),
+                    rtol=1e-9,
+                    atol=1e-9,
+                    msg=msg,
+                )
+            # slicing stays consistent
+            k = op.shape[-2] // 2
+            sub = op[:k, 1:]
+            sub = sub.to_dense() if isinstance(sub, LinearOperator) else sub
+            self.assertAllClose(sub, dense[:k, 1:], rtol=1e-9, atol=1e-9, msg=msg)
+
+
+class TestFuzzPSD(BaseTestCase):
+    """Solve/logdet/root consistency of random PSD compositions."""
+
+    def test_random_psd_trees_solve_and_logdet(self):
+        rng = np.random.default_rng(77)
+        for trial in range(25):
+            n = int(rng.choice([4, 6, 8]))
+            depth = int(rng.integers(1, 4))
+            op = _psd_tree(rng, self.key, n, depth)
+            dense = op.to_dense()
+            msg = f"trial {trial}: {type(op).__name__} n={op.shape[-1]} depth={depth}"
+            self.assertAllClose(dense, jnp.swapaxes(dense, -1, -2), atol=1e-10, msg=msg)
+            w = jnp.linalg.eigvalsh(dense)
+            self.assertGreater(float(jnp.min(w)), 0.0, msg)
+
+            rhs = jnp.asarray(rng.standard_normal((op.shape[-1], 2)), DTYPE)
+            with settings.max_cholesky_size(1000):
+                x = op.solve(rhs)
+                iq, ld = op.inv_quad_logdet(rhs, logdet=True)
+            self.assertAllClose(
+                x, jnp.linalg.solve(dense, rhs), rtol=1e-7, atol=1e-8, msg=msg
+            )
+            self.assertAllClose(
+                ld, jnp.linalg.slogdet(dense)[1], rtol=1e-8, atol=1e-8, msg=msg
+            )
+            self.assertAllClose(
+                iq,
+                jnp.sum(rhs * jnp.linalg.solve(dense, rhs)),
+                rtol=1e-7,
+                atol=1e-8,
+                msg=msg,
+            )
+            root = op.root_decomposition().root.to_dense()
+            self.assertAllClose(
+                root @ jnp.swapaxes(root, -1, -2), dense, rtol=1e-6, atol=1e-7, msg=msg
+            )
+
+    def test_random_psd_trees_iterative_solve(self):
+        """The same trees through the CG path (max_cholesky_size 0)."""
+        rng = np.random.default_rng(13)
+        for trial in range(10):
+            n = int(rng.choice([6, 8]))
+            op = _psd_tree(rng, self.key, n, int(rng.integers(1, 3)))
+            dense = op.to_dense()
+            rhs = jnp.asarray(rng.standard_normal((op.shape[-1], 2)), DTYPE)
+            with settings.max_cholesky_size(0), settings.cg_tolerance(1e-12), \
+                 settings.max_cg_iterations(400), settings.min_preconditioning_size(10**9):
+                x = op.solve(rhs)
+            self.assertAllClose(
+                x,
+                jnp.linalg.solve(dense, rhs),
+                rtol=1e-6,
+                atol=1e-7,
+                msg=f"trial {trial}: {type(op).__name__}",
+            )
+
+
+if __name__ == "__main__":
+    unittest.main()
+
+
+class TestDtypeRegression(BaseTestCase):
+    """Found by the fuzzer: composites whose only array leaves are integer
+    indices must still report a float dtype (add_diagonal casts the added
+    diagonal to self.dtype — an int dtype silently truncated it to zeros)."""
+
+    def test_sum_of_permutations_add_diagonal(self):
+        p0 = PermutationLinearOperator(jnp.asarray([1, 2, 0, 3], jnp.int64))
+        p1 = PermutationLinearOperator(jnp.asarray([3, 0, 1, 2], jnp.int64))
+        s = p0 + p1
+        assert jnp.issubdtype(s.dtype, jnp.floating), s.dtype
+        d = jnp.asarray([0.25, 0.5, 0.75, 1.25], DTYPE)
+        ad = s.add_diagonal(d)
+        self.assertAllClose(
+            ad.to_dense(), s.to_dense() + jnp.diag(d), rtol=1e-12, atol=1e-12
+        )
+
+    def test_permutation_astype_roundtrip(self):
+        p = PermutationLinearOperator(jnp.asarray([2, 0, 1], jnp.int64))
+        assert p.dtype == jnp.float64  # canonical float under x64 tests
+        p32 = p.astype(jnp.float32)
+        assert p32.dtype == jnp.float32
+        assert p32.to_dense().dtype == jnp.float32
+        assert p32.transpose(-1, -2).dtype == jnp.float32
+        assert p32.diagonal().dtype == jnp.float32
+
+
+def _psd_leaf_batched(rng, key, n, batch):
+    choice = rng.integers(0, 4)
+    if choice == 0:
+        return DenseLinearOperator(
+            jnp.stack(
+                [jnp.stack([_psd_dense(rng, n) for _ in range(batch[-1])])
+                 for _ in range(batch[0])]
+            )
+            if len(batch) == 2
+            else jnp.stack([_psd_dense(rng, n) for _ in range(batch[0])])
+        )
+    if choice == 1:
+        return DiagLinearOperator(jnp.asarray(rng.uniform(0.3, 2.0, (*batch, n)), DTYPE))
+    if choice == 2:
+        return ConstantDiagLinearOperator(
+            jnp.asarray(rng.uniform(0.5, 2.0, (*batch, 1)), DTYPE), n
+        )
+    # broadcasting leaf: unbatched PSD against the batched rest
+    return _psd_leaf(rng, key, n)
+
+
+def _psd_tree_batched(rng, key, n, batch, depth):
+    if depth <= 0:
+        return _psd_leaf_batched(rng, key, n, batch)
+    choice = rng.integers(0, 4)
+    if choice == 0:
+        return _psd_tree_batched(rng, key, n, batch, depth - 1) + _psd_tree_batched(
+            rng, key, n, batch, depth - 1
+        )
+    if choice == 1:
+        c = jnp.asarray(rng.uniform(0.5, 2.0), DTYPE)
+        return ConstantMulLinearOperator(
+            _psd_tree_batched(rng, key, n, batch, depth - 1), c
+        )
+    if choice == 2:
+        return _psd_tree_batched(rng, key, n, batch, depth - 1).add_diagonal(
+            jnp.asarray(rng.uniform(0.2, 1.0, (*batch, n)), DTYPE)
+        )
+    if choice == 3:
+        base = _psd_leaf_batched(rng, key, n, batch)
+        return BatchRepeatLinearOperator(
+            _psd_leaf(rng, key, n), batch_repeat=batch
+        ) + base
+    return _psd_leaf_batched(rng, key, n, batch)
+
+
+class TestFuzzBatched(BaseTestCase):
+    """Batched/broadcast PSD compositions: solve + iqld over batch dims."""
+
+    def test_batched_psd_trees(self):
+        rng = np.random.default_rng(5)
+        for trial in range(15):
+            n = int(rng.choice([4, 6]))
+            batch = (2,) if trial % 2 == 0 else (2, 3)
+            op = _psd_tree_batched(rng, self.key, n, batch, int(rng.integers(1, 3)))
+            dense = op.to_dense()
+            msg = f"trial {trial}: {type(op).__name__} batch={op.batch_shape}"
+            self.assertEqual(dense.shape[-1], n, msg)
+            # batch shape must broadcast to `batch` (leaves may be unbatched)
+            bshape = op.batch_shape
+            np.broadcast_shapes(bshape, batch)
+
+            rhs = jnp.asarray(rng.standard_normal((*bshape, n, 2)), DTYPE)
+            self.assertAllClose(op @ rhs, dense @ rhs, rtol=1e-9, atol=1e-9, msg=msg)
+            self.assertAllClose(
+                op.diagonal(),
+                jnp.diagonal(dense, axis1=-2, axis2=-1),
+                rtol=1e-9,
+                atol=1e-9,
+                msg=msg,
+            )
+            with settings.max_cholesky_size(1000):
+                x = op.solve(rhs)
+                iq, ld = op.inv_quad_logdet(rhs, logdet=True)
+            self.assertAllClose(
+                x, jnp.linalg.solve(dense, rhs), rtol=1e-7, atol=1e-8, msg=msg
+            )
+            self.assertAllClose(
+                ld, jnp.linalg.slogdet(dense)[1], rtol=1e-8, atol=1e-8, msg=msg
+            )
+            self.assertAllClose(
+                iq,
+                jnp.sum(rhs * jnp.linalg.solve(dense, rhs), axis=(-2, -1)),
+                rtol=1e-7,
+                atol=1e-8,
+                msg=msg,
+            )
