@@ -6,7 +6,11 @@ CG/SLQ marginal likelihood — so the engine has an end-to-end consumer, a
 training step for multi-chip sharding, and a benchmark target.
 """
 
-from .classification import SVGPClassification, gauss_hermite_expectation
+from .classification import (
+    SVGPClassification,
+    SVGPPoissonRegression,
+    gauss_hermite_expectation,
+)
 from .dkl import DeepKernelGPRegression, DKLParams, MLPParams, init_mlp, mlp_features
 from .gp import ExactGPRegression, GPParams
 from .multitask import MultitaskGPParams, MultitaskGPRegression
@@ -28,6 +32,7 @@ __all__ = [
     "SKIGPRegression",
     "SKIParams",
     "SVGPClassification",
+    "SVGPPoissonRegression",
     "SVGPParams",
     "SVGPRegression",
     "gauss_hermite_expectation",

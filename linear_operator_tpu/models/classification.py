@@ -120,4 +120,42 @@ class SVGPClassification(SVGPRegression):
         return (self.predict_proba(params, x_star) >= 0.5).astype(jnp.int32)
 
 
-__all__ = ["SVGPClassification", "gauss_hermite_expectation"]
+class SVGPPoissonRegression(SVGPRegression):
+    """Poisson count regression with a log link (non-conjugate SVGP).
+
+    rate = exp(f); the expected log-likelihood is CLOSED FORM under a
+    Gaussian q(f): E[y f - exp(f) - log y!] = y mu - exp(mu + var/2)
+    - lgamma(y+1), so no quadrature is needed (the GPyTorch analog
+    evaluates the same moment-generating-function identity).
+    """
+
+    def expected_log_lik(self, params: SVGPParams, x: jax.Array, y: jax.Array):
+        mean, var = self.predictive(params, x)
+        y = y.astype(mean.dtype)
+        return y * mean - jnp.exp(mean + 0.5 * var) - jax.lax.lgamma(y + 1.0)
+
+    def elbo(
+        self,
+        params: SVGPParams,
+        x: jax.Array,
+        y: jax.Array,
+        *,
+        num_data: int | None = None,
+    ) -> jax.Array:
+        batch = y.shape[-1]
+        n = batch if num_data is None else num_data
+        return (n / batch) * jnp.sum(self.expected_log_lik(params, x, y)) - self.kl(
+            params
+        )
+
+    def predict_rate(self, params: SVGPParams, x_star: jax.Array):
+        """Posterior-expected rate E[exp(f)] = exp(mu + var/2) per point."""
+        mean, var = self.predictive(params, x_star)
+        return jnp.exp(mean + 0.5 * var)
+
+
+__all__ = [
+    "SVGPClassification",
+    "SVGPPoissonRegression",
+    "gauss_hermite_expectation",
+]

@@ -135,3 +135,48 @@ class TestSVGPClassification(BaseTestCase):
             self.assertGreater(
                 float(jnp.abs(leaf).sum()), 0.0, msg=f"{name} zero grad"
             )
+
+
+class TestSVGPPoisson(BaseTestCase):
+    """Poisson SVGP (log link): closed-form expected log-lik vs quadrature,
+    training on synthetic counts, rate recovery."""
+
+    def test_expected_log_lik_matches_quadrature(self):
+        from linear_operator_tpu.models import SVGPPoissonRegression
+
+        model = SVGPPoissonRegression()
+        x = jnp.linspace(-1.0, 1.0, 24, dtype=jnp.float64)[:, None]
+        y = jnp.asarray(np.random.default_rng(0).poisson(2.0, 24), jnp.float64)
+        params = model.init_params(x, num_inducing=8)
+        closed = model.expected_log_lik(params, x, y)
+        mean, var = model.predictive(params, x)
+        quad = gauss_hermite_expectation(
+            lambda f: y[..., None] * f
+            - jnp.exp(f)
+            - jax.lax.lgamma(y[..., None] + 1.0),
+            mean,
+            var,
+            num_points=60,
+        )
+        self.assertAllClose(closed, quad, rtol=1e-8, atol=1e-8)
+
+    def test_training_recovers_rates(self):
+        from linear_operator_tpu.models import SVGPPoissonRegression
+
+        rng = np.random.default_rng(3)
+        n = 200
+        x = jnp.asarray(np.sort(rng.uniform(-2, 2, (n, 1)), axis=0), jnp.float64)
+        true_rate = jnp.exp(1.0 + jnp.sin(2.0 * x[:, 0]))
+        y = jnp.asarray(rng.poisson(np.asarray(true_rate)), jnp.float64)
+
+        model = SVGPPoissonRegression()
+        params = model.init_params(x, num_inducing=24)
+        e0 = float(model.elbo(params, x, y))
+        params = _train(model, params, x, y, steps=400, lr=0.05)
+        e1 = float(model.elbo(params, x, y))
+        assert e1 > e0 + 10.0, (e0, e1)
+
+        rate = model.predict_rate(params, x)
+        # relative error of the fitted rate curve (Poisson noise floor ~1/sqrt(rate))
+        rel = float(jnp.mean(jnp.abs(rate - true_rate) / true_rate))
+        assert rel < 0.35, rel
