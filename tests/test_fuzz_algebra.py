@@ -449,3 +449,65 @@ class TestFuzzGradients(BaseTestCase):
                 g_dense,
             )
             self._compare(g_op, g_dense, msg, rtol=0.0, atol=0.15)
+
+
+class TestFuzzStructural(BaseTestCase):
+    """Cat / Masked / Block / Root / Mul wrappers around random trees."""
+
+    def test_structural_wrappers_consistent(self):
+        from linear_operator_tpu.operators import (
+            BlockInterleavedLinearOperator,
+            CatLinearOperator,
+            MaskedLinearOperator,
+        )
+
+        rng = np.random.default_rng(8)
+        for trial in range(25):
+            n = int(rng.choice([4, 6]))
+            inner = lambda: _general_tree(rng, self.key, n, int(rng.integers(0, 3)))
+            kind = trial % 5
+            if kind == 0:  # row-cat of two trees
+                op = CatLinearOperator((inner(), inner()), cat_dim=-2)
+            elif kind == 1:  # col-cat
+                op = CatLinearOperator((inner(), inner()), cat_dim=-1)
+            elif kind == 2:  # masked view
+                base = inner()
+                rows = jnp.asarray(
+                    np.sort(rng.choice(n, size=n - 1, replace=False)), jnp.int32
+                )
+                cols = jnp.asarray(
+                    np.sort(rng.choice(n, size=n - 2, replace=False)), jnp.int32
+                )
+                op = MaskedLinearOperator(base, rows, cols)
+            elif kind == 3:  # interleaved blocks of a batched tree
+                base = DenseLinearOperator(
+                    jnp.stack([_psd_dense(rng, n) for _ in range(3)])
+                )
+                op = BlockInterleavedLinearOperator(base)
+            else:  # Hadamard of two PSD trees through root machinery
+                op = MulLinearOperator(
+                    _psd_leaf(rng, self.key, n), _psd_leaf(rng, self.key, n)
+                )
+            dense = op.to_dense()
+            msg = f"trial {trial}: {type(op).__name__} kind={kind}"
+            self.assertEqual(dense.shape, op.shape, msg)
+            rhs = jnp.asarray(rng.standard_normal((op.shape[-1], 3)), DTYPE)
+            self.assertAllClose(op @ rhs, dense @ rhs, rtol=1e-8, atol=1e-9, msg=msg)
+            lhs = jnp.asarray(rng.standard_normal((2, op.shape[-2])), DTYPE)
+            self.assertAllClose(lhs @ op, lhs @ dense, rtol=1e-8, atol=1e-9, msg=msg)
+            if op.shape[-1] == op.shape[-2]:
+                self.assertAllClose(
+                    op.diagonal(),
+                    jnp.diagonal(dense),
+                    rtol=1e-8,
+                    atol=1e-9,
+                    msg=msg,
+                )
+            self.assertAllClose(
+                op.transpose(-1, -2).to_dense(), jnp.swapaxes(dense, -1, -2),
+                rtol=1e-8, atol=1e-9, msg=msg,
+            )
+            k = max(1, op.shape[-2] // 2)
+            sub = op[:k, 1:]
+            sub = sub.to_dense() if isinstance(sub, LinearOperator) else sub
+            self.assertAllClose(sub, dense[:k, 1:], rtol=1e-8, atol=1e-9, msg=msg)
