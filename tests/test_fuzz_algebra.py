@@ -511,3 +511,48 @@ class TestFuzzStructural(BaseTestCase):
             sub = op[:k, 1:]
             sub = sub.to_dense() if isinstance(sub, LinearOperator) else sub
             self.assertAllClose(sub, dense[:k, 1:], rtol=1e-8, atol=1e-9, msg=msg)
+
+
+class TestFuzzSpectral(BaseTestCase):
+    """eigh / svd / root_inv_decomposition over random PSD trees."""
+
+    def test_spectral_methods_reconstruct(self):
+        rng = np.random.default_rng(21)
+        for trial in range(12):
+            n = int(rng.choice([4, 6]))
+            op = _psd_tree(rng, self.key, n, int(rng.integers(1, 3)))
+            dense = op.to_dense()
+            msg = f"trial {trial}: {type(op).__name__}"
+
+            evals, evecs = op.eigh()
+            v = evecs.to_dense() if isinstance(evecs, LinearOperator) else evecs
+            recon = (v * evals[..., None, :]) @ jnp.swapaxes(v, -1, -2)
+            self.assertAllClose(recon, dense, rtol=1e-8, atol=1e-9, msg=msg)
+            self.assertAllClose(
+                jnp.sort(evals, axis=-1),
+                jnp.linalg.eigvalsh(dense),
+                rtol=1e-8,
+                atol=1e-9,
+                msg=msg,
+            )
+
+            u, s, v = op.svd()  # A = U S V^T (torch convention)
+            ud = u.to_dense() if isinstance(u, LinearOperator) else u
+            vd = v.to_dense() if isinstance(v, LinearOperator) else v
+            self.assertAllClose(
+                (ud * s[..., None, :]) @ jnp.swapaxes(vd, -1, -2),
+                dense,
+                rtol=1e-8,
+                atol=1e-9,
+                msg=msg,
+            )
+
+            with settings.max_cholesky_size(1000):
+                rinv = op.root_inv_decomposition().root.to_dense()
+            self.assertAllClose(
+                rinv @ jnp.swapaxes(rinv, -1, -2),
+                jnp.linalg.inv(dense),
+                rtol=1e-5,
+                atol=1e-6,
+                msg=msg,
+            )
