@@ -89,19 +89,7 @@ class SVGPClassification(SVGPRegression):
             self.num_quadrature_points,
         )
 
-    def elbo(
-        self,
-        params: SVGPParams,
-        x: jax.Array,
-        y: jax.Array,
-        *,
-        num_data: int | None = None,
-    ) -> jax.Array:
-        """Minibatch ELBO: (n/batch) sum_i E_q[log p(y_i|f_i)] - KL(q||p)."""
-        batch = y.shape[-1]
-        n = batch if num_data is None else num_data
-        exp_ll = self.expected_log_lik(params, x, y)
-        return (n / batch) * jnp.sum(exp_ll) - self.kl(params)
+    # elbo() is inherited: the SVGPRegression template over expected_log_lik
 
     def predict_proba(self, params: SVGPParams, x_star: jax.Array):
         """p(y = 1 | x_star) marginally per point.
@@ -133,20 +121,6 @@ class SVGPPoissonRegression(SVGPRegression):
         mean, var = self.predictive(params, x)
         y = y.astype(mean.dtype)
         return y * mean - jnp.exp(mean + 0.5 * var) - jax.lax.lgamma(y + 1.0)
-
-    def elbo(
-        self,
-        params: SVGPParams,
-        x: jax.Array,
-        y: jax.Array,
-        *,
-        num_data: int | None = None,
-    ) -> jax.Array:
-        batch = y.shape[-1]
-        n = batch if num_data is None else num_data
-        return (n / batch) * jnp.sum(self.expected_log_lik(params, x, y)) - self.kl(
-            params
-        )
 
     def predict_rate(self, params: SVGPParams, x_star: jax.Array):
         """Posterior-expected rate E[exp(f)] = exp(mu + var/2) per point."""

@@ -38,6 +38,23 @@ def _softplus(x):
     return jax.nn.softplus(x) + 1e-6
 
 
+def love_posterior(K, k_star, y, k_ss_diag, *, key=None):
+    """Predictive mean/variance from a train operator ``K``, a (lazy)
+    cross-covariance ``k_star``, targets ``y`` and the prior diagonal at the
+    query points — the LOVE pattern (Pleiss et al. 2018) shared by the SKI
+    and multitask model families: var = k_ss_diag - row_norms(k_star R)^2
+    with R an inverse root of K.  ``k_star`` is applied lazily (never an
+    (m, n) dense block for structured operators)."""
+    from ..functions import solve as _solve
+
+    alpha = _solve(K, y[..., None])
+    mean = (k_star @ alpha)[..., 0]
+    r_inv = K.root_inv_decomposition(key=key).root.to_dense()  # (n, k)
+    v = k_star @ r_inv  # (m, k)
+    var = k_ss_diag - jnp.sum(v * v, axis=-1)
+    return mean, jnp.maximum(var, 0.0)
+
+
 class ExactGPRegression:
     """Functional exact-GP model with an RBF kernel (swappable covar_func).
 

@@ -99,24 +99,20 @@ class MultitaskGPRegression:
         )
 
     def posterior(self, params: MultitaskGPParams, x, y, x_star, *, key=None):
-        """Predictive mean and per-task latent variance at ``x_star``.
+        """Predictive mean and per-task latent variance at ``x_star`` via the
+        shared LOVE helper (models/gp.py:love_posterior); the (mT, nT) cross
+        block is applied lazily through the Kronecker sweep, never
+        materialized."""
+        from .gp import love_posterior
 
-        Variance row-wise via an inverse root R of the train operator (the
-        LOVE pattern): var = diag(K_** (x) K_tt) - row_norms(K_* R)^2 —
-        the (mT, nT) cross block is applied lazily through the Kronecker
-        sweep, never materialized.
-        """
         n, T = y.shape
         m = x_star.shape[0]
         K = self.train_operator(params, x)
-        alpha = solve(K, y.reshape(n * T)[:, None])
         k_star = self._cross_covar(params, x_star, x)
-        mean = (k_star @ alpha).reshape(m, T)
-        r_inv = K.root_inv_decomposition(key=key).root.to_dense()  # (nT, k)
-        v = k_star @ r_inv  # (mT, k)
-        prior_diag = jnp.kron(
-            jnp.diagonal(self.data_covar(params, x_star)),
-            jnp.diagonal(self.task_covar(params)),
+        # prior diagonal: the RBF data kernel is stationary, diag = outputscale
+        data_diag = jnp.broadcast_to(_softplus(params.raw_outputscale), (m,))
+        prior_diag = jnp.kron(data_diag, jnp.diagonal(self.task_covar(params)))
+        mean, var = love_posterior(
+            K, k_star, y.reshape(n * T), prior_diag, key=key
         )
-        var = prior_diag - jnp.sum(v * v, axis=-1)
-        return mean, jnp.maximum(var, 0.0).reshape(m, T)
+        return mean.reshape(m, T), var.reshape(m, T)

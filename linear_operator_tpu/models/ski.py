@@ -80,9 +80,10 @@ def cubic_interp_weights_per_dim(x: jax.Array, grid: GridSpec):
         pos = jnp.clip((x[:, d] - grid.mins[d]) / h, 0.0, m - 1 - 1e-6)
         i0 = jnp.floor(pos).astype(jnp.int32)
         pts = i0[:, None] + offsets[None, :]  # (n, 4) unclamped stencil
+        # Keys weights on the unclamped stencil sum to 1 exactly (partition
+        # of unity for |s| < 2); only the INDICES clamp at the boundary, so
+        # boundary stencils become clamp-extrapolation with merged entries.
         w = keys(pos[:, None] - pts)  # (n, 4)
-        # renormalize (clamped boundary stencils lose the >=2-away tail)
-        w = w / jnp.sum(w, axis=-1, keepdims=True)
         idx_list.append(jnp.clip(pts, 0, m - 1).astype(jnp.int32))
         w_list.append(w)
     return tuple(idx_list), tuple(w_list)
@@ -92,20 +93,11 @@ def linear_interp_weights(x: jax.Array, grid: GridSpec):
     """Per-point 2^D linear interpolation (indices, values) onto the flat grid.
 
     x: (n, D) -> indices/values (n, 2^D); flat index uses row-major mixed
-    radix over the per-dim grids.
+    radix over the per-dim grids (one shared implementation:
+    utils/grid_interp.flatten_grid_interp).
     """
-    n, D = x.shape
     idx_list, w_list = linear_interp_weights_per_dim(x, grid)
-
-    # outer product over dims -> (n, 2^D)
-    flat_idx = idx_list[0]
-    flat_w = w_list[0]
-    for d in range(1, D):
-        m = grid.sizes[d]
-        flat_idx = flat_idx[..., :, None] * m + idx_list[d][..., None, :]
-        flat_idx = flat_idx.reshape(n, -1)
-        flat_w = (flat_w[..., :, None] * w_list[d][..., None, :]).reshape(n, -1)
-    return flat_idx, flat_w
+    return flatten_grid_interp(idx_list, w_list, grid.sizes)
 
 
 def rbf_toeplitz_column(m: int, h, lengthscale, dtype=jnp.float32) -> jax.Array:
@@ -202,16 +194,12 @@ class SKIGPRegression:
         return (k_star @ alpha)[..., 0]
 
     def posterior(self, params: SKIParams, x, y, x_star, *, key=None):
-        """Predictive mean and latent variance at ``x_star`` via the LOVE
-        workflow (Pleiss et al. 2018): a Lanczos inverse root R of the train
-        operator gives var = diag(K_ss) - ||k_*^T R||^2 row-wise — O(n k)
-        once, O(m 2^D k) per query block, never an m x n dense block."""
+        """Predictive mean and latent variance at ``x_star`` via the shared
+        LOVE helper (models/gp.py:love_posterior) — O(n k) once,
+        O(m 2^D k) per query block, never an m x n dense block."""
+        from .gp import love_posterior
+
         K = self.train_operator(params, x)
         k_star = self.covariance(params, x_star, x)
-        alpha = solve(K, y[..., None])
-        mean = (k_star @ alpha)[..., 0]
-        r_inv = K.root_inv_decomposition(key=key).root.to_dense()  # (n, k)
-        v = k_star @ r_inv  # (m, k)
         k_ss_diag = self.covariance(params, x_star).diagonal()
-        var = k_ss_diag - jnp.sum(v * v, axis=-1)
-        return mean, jnp.maximum(var, 0.0)
+        return love_posterior(K, k_star, y, k_ss_diag, key=key)

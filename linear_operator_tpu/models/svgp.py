@@ -126,6 +126,16 @@ class SVGPRegression:
             - 2.0 * jnp.sum(jnp.log(jnp.diagonal(r)))
         )
 
+    def expected_log_lik(self, params: SVGPParams, x: jax.Array, y: jax.Array):
+        """Per-point E_{q(f_i)}[log p(y_i | f_i)]; the Gaussian likelihood
+        has the closed form -0.5 (log 2 pi sigma^2 + ((y-mu)^2 + var)/sigma^2).
+        Non-conjugate subclasses override this (models/classification.py)."""
+        noise = self._hyp(params)[2]
+        mean, var = self.predictive(params, x)
+        return -0.5 * (
+            jnp.log(2.0 * jnp.pi * noise) + ((y - mean) ** 2 + var) / noise
+        )
+
     def elbo(
         self,
         params: SVGPParams,
@@ -135,15 +145,11 @@ class SVGPRegression:
         num_data: int | None = None,
     ) -> jax.Array:
         """Evidence lower bound; ``num_data`` rescales a minibatch's data
-        term to the full dataset (Hensman et al. 2013, eq. 4)."""
-        noise = self._hyp(params)[2]
-        mean, var = self.predictive(params, x)
+        term to the full dataset (Hensman et al. 2013, eq. 4).  Shared
+        template for every likelihood via ``expected_log_lik``."""
         batch = y.shape[-1]
         n = batch if num_data is None else num_data
-        exp_ll = -0.5 * (
-            jnp.log(2.0 * jnp.pi * noise)
-            + ((y - mean) ** 2 + var) / noise
-        )
+        exp_ll = self.expected_log_lik(params, x, y)
         return (n / batch) * jnp.sum(exp_ll) - self.kl(params)
 
     def neg_elbo(self, params, x, y, *, num_data: int | None = None):

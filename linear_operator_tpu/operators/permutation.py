@@ -29,9 +29,11 @@ class PermutationLinearOperator(LinearOperator):
     def dtype(self):
         if self.dtype_ is not None:
             return jnp.dtype(self.dtype_)
-        # canonical float (f64 under x64): the matrix is real 0/1 even
-        # though the only array leaf is the integer permutation
-        return jax.dtypes.canonicalize_dtype(jnp.float64)
+        # float32 default, matching the reference (permutation_linear_
+        # operator.py:98 hardcodes torch.float32): the matrix is real 0/1
+        # even though the only array leaf is the integer permutation, and a
+        # float32 default never upcasts f32 composites under x64
+        return jnp.dtype(jnp.float32)
 
     def astype(self, dtype):
         return replace(self, dtype_=jnp.dtype(dtype).name)

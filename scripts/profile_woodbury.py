@@ -76,6 +76,16 @@ def main():
         return wrapped
 
     exact_ld_D = n * float(jnp.log(0.5))
+    try:
+        _profile_loop(step, solve_only, make_closure, lra, u, noise, y, exact_ld_D)
+    finally:
+        lra.woodbury_solve_closure = orig
+
+
+def _profile_loop(step, solve_only, make_closure, lra, u, noise, y, exact_ld_D):
+    import jax, time
+    import jax.numpy as jnp
+    from jax import lax
     for name, prec in [
         ("HIGHEST", lax.Precision.HIGHEST),
         ("HIGH", lax.Precision.HIGH),
@@ -101,7 +111,6 @@ def main():
                 )
             else:
                 print(f"{name} {label}: {dt*1e3:.1f} ms", flush=True)
-    lra.woodbury_solve_closure = orig
 
 
 if __name__ == "__main__":
