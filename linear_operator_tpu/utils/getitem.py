@@ -124,12 +124,60 @@ def normalize_getitem_index(op, index):
     ]
 
     if any_batch_array:
-        # Full advanced indexing: broadcast all index arrays jointly
-        # (reference _linear_operator.py:2882-2902).
-        arrs = batch_arrs + [row_arr, col_arr]
-        bshape = np.broadcast_shapes(*[a.shape for a in arrs])
-        arrs = [jnp.broadcast_to(a, bshape) for a in arrs]
-        return op._get_indices(arrs[-2], arrs[-1], *arrs[:-2])
+        # Torch advanced-indexing semantics (the reference's exact contract;
+        # _linear_operator.py:2882-2902 delegates to torch): genuine index
+        # ARRAYS broadcast jointly into one block; ints are basic (dims drop
+        # and are transparent for contiguity); slices are basic (kept in
+        # place).  The block lands at the first array's position unless a
+        # SLICE separates two arrays — then it migrates to the front.
+        # (Verified against torch/the reference; numpy differs by treating
+        # ints as 0-d advanced indices.)
+        entries = list(batch_indices) + [row_index, col_index]
+        sizes = list(shape)
+        is_arr = [_is_array_index(e) for e in entries]
+        block = tuple(
+            np.broadcast_shapes(
+                *[jnp.shape(jnp.asarray(e)) for e, f in zip(entries, is_arr) if f]
+            )
+        )
+        first_arr = is_arr.index(True)
+        last_arr = len(is_arr) - 1 - is_arr[::-1].index(True)
+        front = any(
+            isinstance(e, slice) for e in entries[first_arr + 1 : last_arr]
+        )
+
+        out_shape: list[int] = []
+        slice_axis: dict[int, int] = {}
+        block_axes: list[int] | None = None
+        if front:
+            block_axes = list(range(len(block)))
+            out_shape.extend(block)
+        for pos, e in enumerate(entries):
+            if isinstance(e, slice):
+                slice_axis[pos] = len(out_shape)
+                out_shape.append(len(range(*e.indices(sizes[pos]))))
+            elif is_arr[pos] and block_axes is None:
+                block_axes = list(
+                    range(len(out_shape), len(out_shape) + len(block))
+                )
+                out_shape.extend(block)
+        out = tuple(out_shape)
+
+        def _full(pos: int) -> jax.Array:
+            e = entries[pos]
+            a = _as_index_array(e, sizes[pos])
+            s = [1] * len(out)
+            if isinstance(e, slice):
+                s[slice_axis[pos]] = a.shape[0]
+            elif is_arr[pos]:
+                a = jnp.broadcast_to(a, block)
+                for ax, size in zip(block_axes, block):
+                    s[ax] = size
+            # ints: 0-d, broadcast everywhere
+            return jnp.broadcast_to(a.reshape(s), out)
+
+        full = [_full(p) for p in range(len(entries))]
+        return op._get_indices(full[-2], full[-1], *full[:-2])
 
     # Basic batch indices: batch slices keep their own leading axes (ints
     # drop); the ADVANCED matrix indices (arrays and ints) broadcast jointly

@@ -117,7 +117,7 @@ def _general_leaf(rng, key, n):
         )
     if choice == 2:
         perm = jnp.asarray(rng.permutation(n), jnp.int64)
-        return PermutationLinearOperator(perm)
+        return PermutationLinearOperator(perm, dtype_="float64")
     return _psd_leaf(rng, key, n)
 
 
@@ -244,8 +244,6 @@ class TestFuzzPSD(BaseTestCase):
             )
 
 
-if __name__ == "__main__":
-    unittest.main()
 
 
 class TestDtypeRegression(BaseTestCase):
@@ -266,12 +264,15 @@ class TestDtypeRegression(BaseTestCase):
 
     def test_permutation_astype_roundtrip(self):
         p = PermutationLinearOperator(jnp.asarray([2, 0, 1], jnp.int64))
-        assert p.dtype == jnp.float64  # canonical float under x64 tests
-        p32 = p.astype(jnp.float32)
-        assert p32.dtype == jnp.float32
-        assert p32.to_dense().dtype == jnp.float32
-        assert p32.transpose(-1, -2).dtype == jnp.float32
-        assert p32.diagonal().dtype == jnp.float32
+        assert p.dtype == jnp.float32  # reference-parity default (f32)
+        p64 = p.astype(jnp.float64)
+        assert p64.dtype == jnp.float64
+        assert p64.to_dense().dtype == jnp.float64
+        assert p64.transpose(-1, -2).dtype == jnp.float64
+        assert p64.diagonal().dtype == jnp.float64
+        # composing a default Permutation with f32 operators must NOT upcast
+        s32 = p + DenseLinearOperator(jnp.eye(3, dtype=jnp.float32))
+        assert s32.dtype == jnp.float32, s32.dtype
 
 
 def _psd_leaf_batched(rng, key, n, batch):
@@ -556,3 +557,232 @@ class TestFuzzSpectral(BaseTestCase):
                 atol=1e-6,
                 msg=msg,
             )
+
+
+def _rect_leaf(rng, key, n, m):
+    """A random rectangular (n, m) leaf."""
+    choice = rng.integers(0, 3)
+    if choice == 0:
+        return DenseLinearOperator(jnp.asarray(rng.standard_normal((n, m)), DTYPE))
+    if choice == 1:  # masked view of a bigger square tree
+        from linear_operator_tpu.operators import MaskedLinearOperator
+
+        big = max(n, m) + 2
+        base = _general_leaf(rng, key, big)
+        rows = jnp.asarray(np.sort(rng.choice(big, size=n, replace=False)), jnp.int32)
+        cols = jnp.asarray(np.sort(rng.choice(big, size=m, replace=False)), jnp.int32)
+        return MaskedLinearOperator(base, rows, cols)
+    k = int(rng.integers(2, 5))
+    return MatmulLinearOperator(
+        DenseLinearOperator(jnp.asarray(rng.standard_normal((n, k)), DTYPE)),
+        DenseLinearOperator(jnp.asarray(rng.standard_normal((k, m)), DTYPE)),
+    )
+
+
+def _rect_tree(rng, key, n, m, depth):
+    """Random rectangular (n, m) composition."""
+    from linear_operator_tpu.operators import CatLinearOperator
+
+    if depth <= 0:
+        return _rect_leaf(rng, key, n, m)
+    choice = rng.integers(0, 6)
+    if choice == 0:  # sum
+        return SumLinearOperator(
+            (_rect_tree(rng, key, n, m, depth - 1), _rect_tree(rng, key, n, m, depth - 1))
+        )
+    if choice == 1:  # matmul through a random inner size
+        k = int(rng.integers(2, 6))
+        return MatmulLinearOperator(
+            _rect_tree(rng, key, n, k, depth - 1), _rect_tree(rng, key, k, m, depth - 1)
+        )
+    if choice == 2:  # transpose of the flipped shape
+        return _rect_tree(rng, key, m, n, depth - 1).transpose(-1, -2)
+    if choice == 3 and n >= 2:  # row-cat
+        n1 = int(rng.integers(1, n))
+        return CatLinearOperator(
+            (_rect_tree(rng, key, n1, m, depth - 1), _rect_tree(rng, key, n - n1, m, depth - 1)),
+            cat_dim=-2,
+        )
+    if choice == 4 and m >= 2:  # col-cat
+        m1 = int(rng.integers(1, m))
+        return CatLinearOperator(
+            (_rect_tree(rng, key, n, m1, depth - 1), _rect_tree(rng, key, n, m - m1, depth - 1)),
+            cat_dim=-1,
+        )
+    if choice == 5:  # scalar multiple
+        c = jnp.asarray(rng.standard_normal(), DTYPE)
+        return ConstantMulLinearOperator(_rect_tree(rng, key, n, m, depth - 1), c)
+    return _rect_leaf(rng, key, n, m)
+
+
+class TestFuzzRectangular(BaseTestCase):
+    """Rectangular compositions (Matmul/Cat/Masked/transpose): the reference's
+    RectangularLinearOperatorTestCase surface over random trees."""
+
+    def test_rectangular_trees_consistent(self):
+        rng = np.random.default_rng(314)
+        for trial in range(30):
+            n = int(rng.integers(3, 8))
+            m = int(rng.integers(3, 8))
+            depth = int(rng.integers(1, 4))
+            op = _rect_tree(rng, self.key, n, m, depth)
+            assert isinstance(op, LinearOperator), type(op)
+            dense = op.to_dense()
+            msg = f"trial {trial}: {type(op).__name__} shape=({n},{m}) depth={depth}"
+            self.assertEqual(op.shape, (n, m), msg)
+            self.assertEqual(dense.shape, (n, m), msg)
+
+            rhs = jnp.asarray(rng.standard_normal((m, 3)), DTYPE)
+            self.assertAllClose(op @ rhs, dense @ rhs, rtol=1e-8, atol=1e-9, msg=msg)
+            lhs = jnp.asarray(rng.standard_normal((2, n)), DTYPE)
+            self.assertAllClose(lhs @ op, lhs @ dense, rtol=1e-8, atol=1e-9, msg=msg)
+            self.assertAllClose(
+                op.transpose(-1, -2).to_dense(), dense.T, rtol=1e-8, atol=1e-9, msg=msg
+            )
+            # matmul against another lazy operator stays consistent
+            other = _rect_leaf(rng, self.key, m, int(rng.integers(2, 5)))
+            prod = op @ other
+            pd = prod.to_dense() if isinstance(prod, LinearOperator) else prod
+            self.assertAllClose(
+                pd, dense @ other.to_dense(), rtol=1e-8, atol=1e-9, msg=msg
+            )
+            # slicing
+            sub = op[1:, : max(1, m // 2)]
+            sub = sub.to_dense() if isinstance(sub, LinearOperator) else sub
+            self.assertAllClose(
+                sub, dense[1:, : max(1, m // 2)], rtol=1e-8, atol=1e-9, msg=msg
+            )
+            # A A^T is PSD: solve through it closes the loop back to square
+            sq = op @ op.transpose(-1, -2)
+            sqd = sq.to_dense() if isinstance(sq, LinearOperator) else sq
+            self.assertAllClose(
+                sqd, dense @ dense.T, rtol=1e-8, atol=1e-9, msg=msg
+            )
+
+
+class TestFuzzMvnSamples(BaseTestCase):
+    """zero_mean_mvn_samples moment checks over random PSD trees: with an
+    EXACT root (Cholesky path) the sample covariance converges at the
+    Monte-Carlo rate, so S samples put ||cov_hat - K||_max inside a
+    ~5/sqrt(S) envelope of the operator scale."""
+
+    def test_sample_covariance_matches_operator(self):
+        rng = np.random.default_rng(1234)
+        S = 60_000
+        for trial in range(8):
+            n = int(rng.choice([3, 4, 5]))
+            op = _psd_tree(rng, self.key, n, int(rng.integers(1, 3)))
+            dense = op.to_dense()
+            msg = f"trial {trial}: {type(op).__name__} n={n}"
+            with settings.max_cholesky_size(1000):
+                samples = op.zero_mean_mvn_samples(S, key=jax.random.PRNGKey(trial))
+            self.assertEqual(samples.shape, (S, n), msg)
+            scale = float(jnp.max(jnp.diagonal(dense)))
+            mean = jnp.mean(samples, axis=0)
+            self.assertAllClose(
+                mean, jnp.zeros(n, DTYPE), rtol=0.0,
+                atol=6.0 * np.sqrt(scale / S), msg=msg,
+            )
+            cov = (samples.T @ samples) / S
+            self.assertAllClose(
+                cov, dense, rtol=0.0, atol=7.0 * scale / np.sqrt(S), msg=msg
+            )
+
+    def test_sample_covariance_ciq_path(self):
+        """The CIQ sampling path (settings.ciq_samples) hits sqrt_matmul:
+        same moment envelope on a generic PSD tree."""
+        rng = np.random.default_rng(4321)
+        S = 40_000
+        n = 4
+        op = _psd_tree(rng, self.key, n, 2)
+        dense = op.to_dense()
+        with settings.ciq_samples(True), settings.max_cholesky_size(1000):
+            samples = op.zero_mean_mvn_samples(S, key=jax.random.PRNGKey(7))
+        self.assertEqual(samples.shape, (S, n))
+        scale = float(jnp.max(jnp.diagonal(dense)))
+        cov = (samples.T @ samples) / S
+        self.assertAllClose(cov, dense, rtol=0.0, atol=8.0 * scale / np.sqrt(S))
+
+    def test_batched_sample_shape_and_moments(self):
+        rng = np.random.default_rng(99)
+        S = 40_000
+        n, b = 3, 2
+        op = _psd_tree_batched(rng, self.key, n, (b,), 1)
+        dense = op.to_dense()
+        with settings.max_cholesky_size(1000):
+            samples = op.zero_mean_mvn_samples(S, key=jax.random.PRNGKey(3))
+        self.assertEqual(samples.shape, (S, *op.batch_shape, n))
+        dense = jnp.broadcast_to(dense, (*samples.shape[1:-1], n, n))
+        cov = jnp.einsum("s...i,s...j->...ij", samples, samples) / S
+        scale = float(jnp.max(jnp.abs(dense)))
+        self.assertAllClose(cov, dense, rtol=0.0, atol=7.0 * scale / np.sqrt(S))
+
+
+class TestFuzzReduceInvQuad(BaseTestCase):
+    """reduce_inv_quad=False returns the per-column quadratic forms
+    rhs_j^T K^{-1} rhs_j (reference inv_quad_logdet contract) — fuzzed over
+    PSD trees on both the Cholesky and the CG path, square and batched."""
+
+    def test_per_column_inv_quad_cholesky_path(self):
+        from linear_operator_tpu.functions import inv_quad_logdet
+
+        rng = np.random.default_rng(55)
+        for trial in range(10):
+            n = int(rng.choice([4, 6]))
+            op = _psd_tree(rng, self.key, n, int(rng.integers(1, 3)))
+            dense = op.to_dense()
+            t = int(rng.integers(1, 4))
+            rhs = jnp.asarray(rng.standard_normal((n, t)), DTYPE)
+            msg = f"trial {trial}: {type(op).__name__} t={t}"
+            with settings.max_cholesky_size(1000):
+                iq, ld = inv_quad_logdet(
+                    op, rhs, logdet=True, reduce_inv_quad=False
+                )
+            expected = jnp.sum(rhs * jnp.linalg.solve(dense, rhs), axis=-2)
+            self.assertEqual(iq.shape, (t,), msg)
+            self.assertAllClose(iq, expected, rtol=1e-7, atol=1e-8, msg=msg)
+            self.assertAllClose(
+                ld, jnp.linalg.slogdet(dense)[1], rtol=1e-8, atol=1e-8, msg=msg
+            )
+            # reduced form is the sum of the per-column form
+            with settings.max_cholesky_size(1000):
+                iq_red, _ = inv_quad_logdet(op, rhs, reduce_inv_quad=True)
+            self.assertAllClose(iq_red, jnp.sum(iq), rtol=1e-9, atol=1e-10, msg=msg)
+
+    def test_per_column_inv_quad_cg_path(self):
+        from linear_operator_tpu.functions import inv_quad_logdet
+
+        rng = np.random.default_rng(66)
+        for trial in range(6):
+            n = int(rng.choice([6, 8]))
+            op = _psd_tree(rng, self.key, n, int(rng.integers(1, 3)))
+            dense = op.to_dense()
+            rhs = jnp.asarray(rng.standard_normal((n, 2)), DTYPE)
+            msg = f"trial {trial}: {type(op).__name__}"
+            with settings.max_cholesky_size(0), settings.cg_tolerance(1e-12), \
+                 settings.max_cg_iterations(400), settings.min_preconditioning_size(10**9):
+                iq, _ = inv_quad_logdet(op, rhs, reduce_inv_quad=False)
+            expected = jnp.sum(rhs * jnp.linalg.solve(dense, rhs), axis=-2)
+            self.assertEqual(iq.shape, (2,), msg)
+            self.assertAllClose(iq, expected, rtol=1e-6, atol=1e-7, msg=msg)
+
+    def test_per_column_inv_quad_batched(self):
+        from linear_operator_tpu.functions import inv_quad_logdet
+
+        rng = np.random.default_rng(77)
+        for trial in range(6):
+            n = int(rng.choice([4, 6]))
+            op = _psd_tree_batched(rng, self.key, n, (2,), int(rng.integers(1, 3)))
+            dense = op.to_dense()
+            bshape = op.batch_shape
+            rhs = jnp.asarray(rng.standard_normal((*bshape, n, 3)), DTYPE)
+            msg = f"trial {trial}: {type(op).__name__} batch={bshape}"
+            with settings.max_cholesky_size(1000):
+                iq, _ = inv_quad_logdet(op, rhs, reduce_inv_quad=False)
+            expected = jnp.sum(rhs * jnp.linalg.solve(dense, rhs), axis=-2)
+            self.assertEqual(iq.shape, (*bshape, 3), msg)
+            self.assertAllClose(iq, expected, rtol=1e-7, atol=1e-8, msg=msg)
+
+
+if __name__ == "__main__":
+    unittest.main()

