@@ -23,33 +23,42 @@ from .added_diag import AddedDiagLinearOperator
 from .diag import DiagLinearOperator
 
 
-def woodbury_solve_closure(U: jax.Array, diag: jax.Array):
+def woodbury_solve_closure(
+    U: jax.Array, diag: jax.Array, *, precision=jax.lax.Precision.HIGHEST
+):
     """Build (closure: v -> (U U^T + D)^{-1} v, logdet(U U^T + D)).
 
     U: (*b, n, r); diag: (*b, n).  Used both by this operator's exact solves
     and as the AddedDiag preconditioner application (reference
     added_diag_linear_operator.py:135-184).
+
+    D^{-1} is folded into the VECTOR side everywhere (t = U^T (D^{-1} v),
+    out = D^{-1}v - D^{-1}(U y)) so no n x r scaled copy of U is ever
+    materialized — at N=1e7 rank 20 that copy was a full extra HBM pass
+    (write + re-reads of 800 MB; scripts/profile_woodbury.py).
+
+    precision: HIGHEST by default — when this closure is the CG
+    preconditioner, default-bf16 products corrupt P^{-1} enough to stall PCG
+    at large n (BASELINE.md, TPU-numerics note 3).  The exact
+    LowRankRootAddedDiag solve path passes HIGH: measured residual 1.7e-6
+    and bit-identical logdet at N=1e7 rank 20, with fewer MXU passes over
+    the skinny contractions.
     """
     dinv = 1.0 / diag  # (*b, n)
-    DinvU = dinv[..., :, None] * U  # (*b, n, r)
     r = U.shape[-1]
-    # HIGHEST precision throughout: these skinny (n x r) contractions are
-    # cheap, and default bf16 products make P^{-1} inexact enough to break
-    # PCG convergence at large n (the closure must act as an SPD operator)
-    hi = jax.lax.Precision.HIGHEST
     cap = jnp.eye(r, dtype=U.dtype) + jnp.matmul(
-        jnp.swapaxes(U, -1, -2), DinvU, precision=hi
-    )  # (*b, r, r)
+        jnp.swapaxes(U, -1, -2), dinv[..., :, None] * U, precision=precision
+    )  # (*b, r, r); the dinv scaling fuses into the operand read
     cap_chol = jnp.linalg.cholesky(cap)
 
     def closure(v: jax.Array) -> jax.Array:
         dv = dinv[..., :, None] * v
-        t = jnp.matmul(jnp.swapaxes(DinvU, -1, -2), v, precision=hi)  # (*b, r, t)
+        t = jnp.matmul(jnp.swapaxes(U, -1, -2), dv, precision=precision)  # (*b, r, t)
         y = lax.linalg.triangular_solve(cap_chol, t, left_side=True, lower=True)
         y = lax.linalg.triangular_solve(
             cap_chol, y, left_side=True, lower=True, transpose_a=True
         )
-        return dv - jnp.matmul(DinvU, y, precision=hi)
+        return dv - dinv[..., :, None] * jnp.matmul(U, y, precision=precision)
 
     logdet = 2.0 * jnp.sum(
         jnp.log(jnp.diagonal(cap_chol, axis1=-2, axis2=-1)), axis=-1
@@ -82,19 +91,28 @@ class LowRankRootAddedDiagLinearOperator(AddedDiagLinearOperator):
         return self.operators[0].root.to_dense()
 
     # -- exact Woodbury machinery (reference :37-47, 62-87) ----------------
+    # HIGH (f32-faithful 3-pass) products: measured equivalent to HIGHEST on
+    # the exact path (scripts/profile_woodbury.py) at fewer MXU passes.
+    _exact_precision = jax.lax.Precision.HIGH
 
     def _solve_structure(self, rhs: jax.Array) -> jax.Array:
-        closure, _ = woodbury_solve_closure(self._root, self._diag_op._diagonal())
+        closure, _ = woodbury_solve_closure(
+            self._root, self._diag_op._diagonal(), precision=self._exact_precision
+        )
         return closure(rhs)
 
     def _logdet_structure(self) -> jax.Array:
         """Matrix determinant lemma (reference :95-101)."""
-        _, logdet = woodbury_solve_closure(self._root, self._diag_op._diagonal())
+        _, logdet = woodbury_solve_closure(
+            self._root, self._diag_op._diagonal(), precision=self._exact_precision
+        )
         return logdet
 
     def _inv_quad_logdet_structure(self, rhs, logdet):
         """Exact (deterministic) inv_quad_logdet (reference :114-160)."""
-        closure, ld = woodbury_solve_closure(self._root, self._diag_op._diagonal())
+        closure, ld = woodbury_solve_closure(
+            self._root, self._diag_op._diagonal(), precision=self._exact_precision
+        )
         if rhs is None:
             iq = jnp.zeros(self.batch_shape, dtype=self.dtype)
         else:
