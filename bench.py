@@ -95,6 +95,27 @@ def bench_mll() -> None:
     _emit("gp_mll_n100k_cg_slq", 1.0 / dt, "solves/s")
 
 
+def bench_mll_grad() -> None:
+    """Config 3b: full GP *training* step — value_and_grad of the N=1e5 MLL
+    w.r.t. the kernel hyperparameters (the workload a GPyTorch user actually
+    loops over).  The custom VJP reuses the forward CG solves; the backward
+    cost is one ``_bilinear_derivative`` pass over the blocked kernel."""
+    fn, args = build_benchmark()
+    params, x, y = args
+    grad_fn = jax.jit(jax.value_and_grad(fn))
+    val, g = grad_fn(params, x, y)
+    float(val)
+    float(jax.tree_util.tree_reduce(lambda a, b: a + jnp.sum(b), g, 0.0))
+    n_runs = 3
+    t0 = time.perf_counter()
+    for _ in range(n_runs):
+        val, g = grad_fn(params, x, y)
+        float(val)
+        float(jax.tree_util.tree_reduce(lambda a, b: a + jnp.sum(b), g, 0.0))
+    dt = (time.perf_counter() - t0) / n_runs
+    _emit("gp_train_step_n100k", 1.0 / dt, "steps/s")
+
+
 # ---------------------------------------------------------------------------
 # Config 1: N=10M rank-20 Woodbury (README headline demo)
 # ---------------------------------------------------------------------------
@@ -247,6 +268,7 @@ def main():
         bench_woodbury_10m()
         bench_batched_dense()
         bench_mll()
+        bench_mll_grad()
         bench_kron_toeplitz()
         bench_ski()
         bench_sharded()

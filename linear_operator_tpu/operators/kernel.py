@@ -136,14 +136,23 @@ class KernelLinearOperator(LinearOperator):
             0,
         )  # (nblocks, *b, block, d)
 
-        def one_block(x1_block):
+        # jax.checkpoint: without it, differentiating through the lax.map
+        # stacks each block's matmul residual — i.e. the ENTIRE kernel matrix
+        # (nblocks, block, m) — into one allocation (40+ GB at n=m=1e5).
+        # With remat the only stacked residual is x1_block itself; the
+        # backward re-forms each kernel block (one extra formation sweep per
+        # bwd pass — the same recompute-don't-store design as the forward).
+        @jax.checkpoint
+        def one_block(x1_block, x2, rhs, params):
             return jnp.matmul(
-                self.covar_func(x1_block, self.x2, **self.params),
+                self.covar_func(x1_block, x2, **params),
                 rhs,
                 precision=jax.lax.Precision.HIGH,
             )
 
-        out = jax.lax.map(one_block, x1b)  # (nblocks, *bb, block, t)
+        out = jax.lax.map(
+            lambda xb: one_block(xb, self.x2, rhs, self.params), x1b
+        )  # (nblocks, *bb, block, t)
         out = jnp.moveaxis(out, 0, -3)
         out = out.reshape(*out.shape[:-3], nblocks * self.block_rows, out.shape[-1])
         return out[..., :n, :]

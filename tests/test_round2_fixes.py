@@ -687,3 +687,54 @@ class TestLazyRootAddition:
             rtol=1e-8,
             atol=1e-8,
         )
+
+
+class TestBlockedMatmulGradMemory:
+    """The blocked kernel mat-vec must REMATERIALIZE kernel blocks in its
+    backward: without jax.checkpoint the lax.map VJP stacks every block's
+    matmul residual — i.e. the full (nblocks, block, m) kernel matrix — into
+    one allocation (42.6 GB at the N=1e5 bench scale, over HBM)."""
+
+    def test_grad_matches_single_block(self):
+        n, d, t = 3000, 3, 2
+        x = jax.random.normal(jax.random.PRNGKey(0), (n, d), dtype=jnp.float32)
+        rhs = jax.random.normal(jax.random.PRNGKey(1), (n, t), dtype=jnp.float32)
+
+        def f(ls, block):
+            op = rbf_kernel_operator(
+                x,
+                lengthscale=ls,
+                outputscale=jnp.float32(1.3),
+                block_rows=block,
+                materialize_threshold=None,
+            )
+            return jnp.sum(jnp.cos(op._matmul(rhs)))
+
+        g_blocked = jax.grad(f)(jnp.float32(0.7), 512)
+        g_single = jax.grad(f)(jnp.float32(0.7), 4096)
+        np.testing.assert_allclose(
+            np.asarray(g_blocked), np.asarray(g_single), rtol=1e-4
+        )
+
+    def test_grad_temp_memory_bounded(self):
+        n, d = 3000, 3
+        x = jax.random.normal(jax.random.PRNGKey(0), (n, d), dtype=jnp.float32)
+        rhs = jax.random.normal(jax.random.PRNGKey(1), (n, 1), dtype=jnp.float32)
+
+        def loss(ls):
+            op = rbf_kernel_operator(
+                x,
+                lengthscale=ls,
+                outputscale=jnp.float32(1.0),
+                block_rows=256,
+                materialize_threshold=None,
+            )
+            return jnp.sum(op._matmul(rhs))
+
+        compiled = jax.jit(jax.grad(loss)).lower(jnp.float32(0.7)).compile()
+        temp = compiled.memory_analysis().temp_size_in_bytes
+        full_k_bytes = n * n * 4
+        assert temp < full_k_bytes // 2, (
+            f"blocked-matmul grad allocates {temp} temp bytes — the lax.map "
+            f"VJP is stacking kernel blocks (full K = {full_k_bytes})"
+        )
