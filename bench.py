@@ -135,6 +135,9 @@ def bench_woodbury_10m(n=10_000_000, rank=20) -> None:
 
     def step(u, noise, y):
         op = LowRankRootLinearOperator(DenseLinearOperator(u)).add_diagonal(noise)
+        # One cap-matrix Cholesky shared across solve + inv_quad_logdet —
+        # the same factor sharing the reference gets from its memoize cache.
+        op = op.factorize()
         x = solve(op, y)
         iq, ld = inv_quad_logdet(op, y, logdet=True)
         return jnp.sum(x) + iq + ld

@@ -157,6 +157,9 @@ def ours_cpu():
 
     def step1(u, noise, y):
         op = LowRankRootLinearOperator(DenseLinearOperator(u)).add_diagonal(noise)
+        # factorize(): one cap Cholesky shared across solve + iqld — the
+        # reference side gets the same sharing from its memoize cache.
+        op = op.factorize()
         x = solve(op, y)
         iq, ld = inv_quad_logdet(op, y, logdet=True)
         return jnp.sum(x) + iq + ld

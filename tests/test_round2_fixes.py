@@ -255,6 +255,61 @@ class TestFactorizationReuse:
         )
         assert samples.shape == (3, 12)
 
+    def test_woodbury_factorize_shares_cap_cholesky(self):
+        """LowRankRootAddedDiag.factorize(): one cap-matrix Cholesky shared
+        across solve + inv_quad_logdet + logdet (the reference memoizes
+        ``_cholesky_cap_mat``, low_rank_root_added_diag_linear_operator.py:
+        37-47), with values identical to the unfactored path."""
+        from linear_operator_tpu.operators import LowRankRootLinearOperator
+
+        u = jax.random.normal(jax.random.PRNGKey(0), (40, 3), dtype=jnp.float64)
+        noise = jnp.full((40,), 0.5, jnp.float64)
+        op = LowRankRootLinearOperator(DenseLinearOperator(u)).add_diagonal(noise)
+        rhs = jax.random.normal(jax.random.PRNGKey(1), (40, 2), dtype=jnp.float64)
+
+        import jax.numpy.linalg as jla
+
+        calls = []
+        orig = jla.cholesky
+        try:
+            jla.cholesky = lambda *a, **k: (calls.append(1), orig(*a, **k))[1]
+            fop = op.factorize()
+            x = solve(fop, rhs)
+            iq, ld = inv_quad_logdet(fop, rhs, logdet=True)
+            ld2 = fop.logdet()
+        finally:
+            jla.cholesky = orig
+        assert len(calls) == 1
+
+        dense = np.asarray(u) @ np.asarray(u).T + 0.5 * np.eye(40)
+        np.testing.assert_allclose(
+            np.asarray(x), np.linalg.solve(dense, np.asarray(rhs)), rtol=1e-9
+        )
+        np.testing.assert_allclose(
+            float(ld), np.linalg.slogdet(dense)[1], rtol=1e-9
+        )
+        np.testing.assert_allclose(float(ld2), float(ld), rtol=1e-12)
+        np.testing.assert_allclose(
+            float(iq),
+            float(np.sum(np.linalg.solve(dense, np.asarray(rhs)) * np.asarray(rhs))),
+            rtol=1e-9,
+        )
+        # gradients through the factorized path match the plain path
+        def loss_factored(u):
+            o = LowRankRootLinearOperator(DenseLinearOperator(u)).add_diagonal(noise)
+            f = o.factorize()
+            iq, ld = inv_quad_logdet(f, rhs, logdet=True)
+            return jnp.sum(iq) + ld
+
+        def loss_plain(u):
+            o = LowRankRootLinearOperator(DenseLinearOperator(u)).add_diagonal(noise)
+            iq, ld = inv_quad_logdet(o, rhs, logdet=True)
+            return jnp.sum(iq) + ld
+
+        g1 = jax.grad(loss_factored)(u)
+        g2 = jax.grad(loss_plain)(u)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-7, atol=1e-10)
+
     def test_with_factorization_validates(self):
         op = DenseLinearOperator(_psd(jax.random.PRNGKey(0), n=6))
         other = DenseLinearOperator(_psd(jax.random.PRNGKey(1), n=5))
