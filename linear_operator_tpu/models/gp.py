@@ -122,7 +122,10 @@ class ExactGPRegression:
 
     def posterior(self, params: GPParams, x, y, x_star, *, key=None):
         """Predictive mean and variance at x_star."""
-        K = self.train_operator(params, x)
+        # Share one preconditioner factor across the mean and variance
+        # solves (reference memoizes _preconditioner per operator); no-op
+        # when preconditioning is gated off.
+        K = self.train_operator(params, x).with_preconditioner()
         k_star = self.covariance(params, x_star, x)  # (*b, m, n)
         alpha = solve(K, y[..., None])  # (*b, n, 1)
         mean = (k_star @ alpha)[..., 0]

@@ -60,7 +60,16 @@ def nystrom_factor(op, rank: int) -> jax.Array:
 
 @operator_class
 class AddedDiagLinearOperator(SumLinearOperator):
-    """Constructed as SumLinearOperator((op, diag_op)) (reference :21-60)."""
+    """Constructed as SumLinearOperator((op, diag_op)) (reference :21-60).
+
+    ``precond_factor`` (optional pytree child, from
+    :meth:`with_preconditioner`) carries a precomputed rank-k preconditioner
+    factor L (L L^T ~= K) so repeated solves / inv_quad_logdets on the same
+    operator skip the O(n k) factor construction — the functional analog of
+    the reference memoizing ``_preconditioner`` per object
+    (added_diag_linear_operator.py:95-116 under ``@cached``)."""
+
+    precond_factor: jax.Array | None = None
 
     def __post_init__(self):
         if len(self.operators) != 2:
@@ -68,11 +77,40 @@ class AddedDiagLinearOperator(SumLinearOperator):
         if not isinstance(self.operators[1], DiagLinearOperator):
             raise TypeError("second operand must be a DiagLinearOperator")
 
-    def __init__(self, op=None, diag_op=None, *, operators=None):  # type: ignore[override]
+    def __init__(self, op=None, diag_op=None, *, operators=None, precond_factor=None):  # type: ignore[override]
         if operators is None:
             operators = (op, diag_op)
         object.__setattr__(self, "operators", tuple(operators))
+        object.__setattr__(self, "precond_factor", precond_factor)
         self.__post_init__()
+
+    def with_preconditioner(self, factor: jax.Array | None = None):
+        """Return the same operator carrying the rank-k preconditioner
+        factor, built once under the CURRENT settings (rank =
+        ``settings.max_preconditioner_size``, construction =
+        ``settings.preconditioner_mode``).  Subsequent solve /
+        inv_quad_logdet / sampling calls on the result reuse the factor
+        instead of re-running pivoted Cholesky / Nystrom — the reference's
+        per-object memoize semantics made explicit.  ``factor`` overrides
+        with a caller-supplied (*b, n, k) root.  No-op (returns self) when
+        preconditioning is gated off under the current settings, so callers
+        can apply it unconditionally."""
+        from .._pytree import replace
+
+        if factor is None:
+            k = settings.max_preconditioner_size.value()
+            if k == 0 or self.shape[-1] < settings.min_preconditioning_size.value():
+                return self
+            factor = self._build_precond_factor()
+        return replace(self, precond_factor=factor)
+
+    def _build_precond_factor(self) -> jax.Array:
+        from ..functions import pivoted_cholesky
+
+        k = settings.max_preconditioner_size.value()
+        if settings.preconditioner_mode.value() == "nystrom":
+            return nystrom_factor(self._linear_op, rank=k)
+        return pivoted_cholesky(self._linear_op, rank=k)
 
     @property
     def _linear_op(self) -> LinearOperator:
@@ -109,15 +147,14 @@ class AddedDiagLinearOperator(SumLinearOperator):
         if k == 0 or n < settings.min_preconditioning_size.value():
             return None, None, None
 
-        from ..functions import pivoted_cholesky
         from .low_rank_root_added_diag import woodbury_solve_closure
         from .root import LowRankRootLinearOperator
         from .dense import DenseLinearOperator
 
-        if settings.preconditioner_mode.value() == "nystrom":
-            L = nystrom_factor(self._linear_op, rank=k)  # (*b, n, k)
+        if self.precond_factor is not None:
+            L = self.precond_factor  # (*b, n, k), from with_preconditioner()
         else:
-            L = pivoted_cholesky(self._linear_op, rank=k)  # (*b, n, k)
+            L = self._build_precond_factor()  # (*b, n, k)
         diag = self._diag_op._diagonal()  # (*b, n)
 
         # NaN bail-out (reference added_diag_linear_operator.py:126-131

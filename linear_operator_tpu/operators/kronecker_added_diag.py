@@ -37,6 +37,9 @@ class KroneckerProductAddedDiagLinearOperator(AddedDiagLinearOperator):
         if operators is None:
             operators = (op, diag_op)
         object.__setattr__(self, "operators", tuple(operators))
+        # inherited AddedDiag field; unused here (spectral solves are exact),
+        # but flatten/replace iterate all dataclass fields
+        object.__setattr__(self, "precond_factor", None)
         self.__post_init__()
 
     def __post_init__(self):

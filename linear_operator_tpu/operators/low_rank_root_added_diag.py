@@ -100,6 +100,9 @@ class LowRankRootAddedDiagLinearOperator(AddedDiagLinearOperator):
         if operators is None:
             operators = (op, diag_op)
         object.__setattr__(self, "operators", tuple(operators))
+        # inherited AddedDiag field; unused here (solves are exact, no
+        # preconditioner), but flatten/replace iterate all dataclass fields
+        object.__setattr__(self, "precond_factor", None)
         object.__setattr__(self, "cap_chol", cap_chol)
         self.__post_init__()
 

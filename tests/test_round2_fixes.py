@@ -255,6 +255,64 @@ class TestFactorizationReuse:
         )
         assert samples.shape == (3, 12)
 
+    def test_with_preconditioner_shares_factor(self):
+        """AddedDiag.with_preconditioner(): the rank-k pivoted-Cholesky
+        factor is built ONCE and reused by solve + inv_quad_logdet (the
+        reference memoizes ``_preconditioner`` per object,
+        added_diag_linear_operator.py:95-116), with identical results."""
+        from unittest import mock
+
+        import linear_operator_tpu.operators.added_diag as ad_mod
+        from linear_operator_tpu import settings
+        from linear_operator_tpu.operators import (
+            AddedDiagLinearOperator,
+            DiagLinearOperator,
+        )
+
+        mat = _psd(jax.random.PRNGKey(5), n=64)
+        diag = jnp.full((64,), 0.5, jnp.float64)
+        op = AddedDiagLinearOperator(DenseLinearOperator(mat), DiagLinearOperator(diag))
+        rhs = jax.random.normal(jax.random.PRNGKey(6), (64, 1), dtype=jnp.float64)
+
+        ctx = lambda: (
+            settings.max_cholesky_size(0),
+            settings.min_preconditioning_size(1),
+            settings.max_preconditioner_size(8),
+            settings.num_trace_samples(32),
+            settings.cg_tolerance(1e-10),
+        )
+
+        with mock.patch.object(
+            AddedDiagLinearOperator,
+            "_build_precond_factor",
+            autospec=True,
+            side_effect=AddedDiagLinearOperator._build_precond_factor,
+        ) as spy:
+            c1, c2, c3, c4, c5 = ctx()
+            with c1, c2, c3, c4, c5:
+                pop = op.with_preconditioner()
+                x = solve(pop, rhs)
+                iq, ld = inv_quad_logdet(
+                    pop, rhs, logdet=True, key=jax.random.PRNGKey(7)
+                )
+        assert spy.call_count == 1
+
+        dense = np.asarray(op.to_dense())
+        expected = np.linalg.solve(dense, np.asarray(rhs))
+        np.testing.assert_allclose(np.asarray(x), expected, rtol=1e-7)
+        np.testing.assert_allclose(
+            float(iq), float(np.sum(expected * np.asarray(rhs))), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            float(ld), np.linalg.slogdet(dense)[1], rtol=0.1
+        )
+
+        # plain path (factor rebuilt) gives the same solve
+        c1, c2, c3, c4, c5 = ctx()
+        with c1, c2, c3, c4, c5:
+            x_plain = solve(op, rhs)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_plain), rtol=1e-7)
+
     def test_woodbury_factorize_shares_cap_cholesky(self):
         """LowRankRootAddedDiag.factorize(): one cap-matrix Cholesky shared
         across solve + inv_quad_logdet + logdet (the reference memoizes
