@@ -99,10 +99,17 @@ def bench_mll_grad() -> None:
     """Config 3b: full GP *training* step — value_and_grad of the N=1e5 MLL
     w.r.t. the kernel hyperparameters (the workload a GPyTorch user actually
     loops over).  The custom VJP reuses the forward CG solves; the backward
-    cost is one ``_bilinear_derivative`` pass over the blocked kernel."""
+    cost is one ``_bilinear_derivative`` pass over the blocked kernel.
+
+    NOTE the jit pattern: ``jit(value_and_grad(loss))`` on the PLAIN loss.
+    Differentiating through an inner ``jax.jit`` (``value_and_grad(jit(
+    loss))``) makes this step 2.9x slower (2526 ms vs 880 ms measured,
+    scripts/profile_backward3.py) — grad-through-pjit defeats the
+    partial-eval/DCE that keeps the backward at one bilinear pass.  Round
+    2's 0.397 steps/s was this artifact, not backward compute."""
     fn, args = build_benchmark()
     params, x, y = args
-    grad_fn = jax.jit(jax.value_and_grad(fn))
+    grad_fn = jax.jit(jax.value_and_grad(fn.__wrapped__))
     val, g = grad_fn(params, x, y)
     float(val)
     float(jax.tree_util.tree_reduce(lambda a, b: a + jnp.sum(b), g, 0.0))
@@ -254,11 +261,50 @@ def bench_ski(n=200_000, grid_size=256) -> None:
 
 
 # ---------------------------------------------------------------------------
+# Config 6: CIQ sampling — N(0, K) draws via contour-integral quadrature
+# (shifted MINRES), N=32k RBF+noise, 16 samples.  Tracks the sqrt/MINRES/CIQ
+# stack on TPU (reference utils/contour_integral_quad.py:14-156,
+# _linear_operator.py:2746-2793); previously CPU-test-verified only.
+# ---------------------------------------------------------------------------
+
+
+def bench_ciq_sampling(n=32_768, d=3, num_samples=16) -> None:
+    from linear_operator_tpu import settings
+    from linear_operator_tpu.models import ExactGPRegression
+
+    model = ExactGPRegression(block_rows=8192)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (n, d), dtype=jnp.float32)
+    params = model.init_params(d)
+
+    def step(params, x, key):
+        K = model.train_operator(params, x)
+        with settings.ciq_samples(True), settings.minres_tolerance(1e-3), \
+             settings.num_contour_quadrature(15), \
+             settings.min_preconditioning_size(10**9):
+            s = K.zero_mean_mvn_samples(num_samples, key=key)
+        return jnp.sum(s * s)
+
+    f = jax.jit(step)
+    float(f(params, x, jax.random.PRNGKey(1)))
+    t0 = time.perf_counter()
+    runs = 3
+    for _ in range(runs):
+        float(f(params, x, jax.random.PRNGKey(1)))
+    dt = (time.perf_counter() - t0) / runs
+    _emit("ciq_sampling_n32k", num_samples / dt, "samples/s")
+
+
+# ---------------------------------------------------------------------------
 # Config 5: sharded MLL step (devices available on this host)
 # ---------------------------------------------------------------------------
 
 
-def bench_sharded(n=2048) -> None:
+def bench_sharded(n=8192) -> None:
+    # n >= 8192: the mat-vec (not CG epilogue overhead) dominates, so a
+    # collectives/layout regression in the row-sharded kernel mat-vec would
+    # actually move this number (VERDICT r2 item 5; the old n=2048 shape was
+    # CG-overhead-bound and insensitive).
     from linear_operator_tpu.parallel import make_mesh, mll_throughput
 
     mesh = make_mesh(len(jax.devices()), model=1)
@@ -274,6 +320,7 @@ def main():
         bench_mll_grad()
         bench_kron_toeplitz()
         bench_ski()
+        bench_ciq_sampling()
         bench_sharded()
     else:
         bench_mll()

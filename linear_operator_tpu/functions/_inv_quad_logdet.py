@@ -164,6 +164,14 @@ def _stochastic_iqld(op, rhs, probes, precond_probes, norms):
 
 
 def _stochastic_forward(op, rhs, probes):
+    # mesh sharding (SURVEY.md section 2g): batch over "data", matrix dim
+    # over "model", stacked [probes | rhs] columns over "probe" (no-op
+    # outside a mesh).  Constrain BOTH concat operands and the result so the
+    # concatenate is born in the target layout — an unconstrained operand
+    # layout forces an involuntary full rematerialization (see
+    # parallel/sharding.py:maybe_shard_probes).
+    from ..parallel import maybe_shard_probes
+
     n = op.shape[-1]
     m = probes.shape[-1]
     if rhs is not None and m > 0:
@@ -171,16 +179,13 @@ def _stochastic_forward(op, rhs, probes):
             rhs,
             (*jnp.broadcast_shapes(op.batch_shape, rhs.shape[:-2]), *rhs.shape[-2:]),
         )
-        stacked = jnp.concatenate([probes, rhs_b], axis=-1)
+        stacked = jnp.concatenate(
+            [maybe_shard_probes(probes), maybe_shard_probes(rhs_b)], axis=-1
+        )
     elif rhs is not None:
         stacked = rhs
     else:
         stacked = probes
-
-    # probe-axis sharding (SURVEY.md section 2g): under a mesh with a
-    # "probe" axis, the stacked [probes | rhs] columns distribute across it
-    # (no-op otherwise)
-    from ..parallel import maybe_shard_probes
 
     stacked = maybe_shard_probes(stacked)
     closure, _, _ = op.detach()._preconditioner()

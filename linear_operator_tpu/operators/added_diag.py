@@ -93,13 +93,30 @@ class AddedDiagLinearOperator(SumLinearOperator):
         instead of re-running pivoted Cholesky / Nystrom — the reference's
         per-object memoize semantics made explicit.  ``factor`` overrides
         with a caller-supplied (*b, n, k) root.  No-op (returns self) when
-        preconditioning is gated off under the current settings, so callers
-        can apply it unconditionally."""
+        preconditioning is gated off under the current settings, OR when the
+        solve/inv_quad_logdet dispatch would take the Cholesky path anyway
+        (n <= max_cholesky_size, or both fast_computations.solves and
+        .log_prob off — mirroring functions/_solve.py:_dispatch and
+        _inv_quad_logdet's cutoff) so the factor is never built just to be
+        ignored.  Callers can therefore apply it unconditionally.
+
+        Staleness contract: the carried factor is valid ONLY for the exact
+        operator leaves it was built from.  Rebuilding or remapping leaves
+        generically (``jax.tree_util.tree_map`` over the operator, optimizer
+        updates of its arrays) silently keeps the stale factor — call
+        ``with_preconditioner`` again after any leaf update (the in-repo
+        composition paths construct fresh operators, which drops it)."""
         from .._pytree import replace
 
         if factor is None:
             k = settings.max_preconditioner_size.value()
-            if k == 0 or self.shape[-1] < settings.min_preconditioning_size.value():
+            n = self.shape[-1]
+            if k == 0 or n < settings.min_preconditioning_size.value():
+                return self
+            if n <= settings.max_cholesky_size.value() or (
+                settings.fast_computations.solves.off()
+                and settings.fast_computations.log_prob.off()
+            ):
                 return self
             factor = self._build_precond_factor()
         return replace(self, precond_factor=factor)

@@ -84,9 +84,19 @@ class KernelLinearOperator(LinearOperator):
         a ``matvec_closure_impl`` is registered (e.g. the RBF bf16
         upper-triangle tile cache for large symmetric kernels), it takes
         precedence — it self-gates on shape/platform and returns None when
-        not applicable."""
+        not applicable.
+
+        ``settings.memory_efficient`` (the reference's cache-vs-recompute
+        trade, functions/_matmul.py:26 et al.) disables BOTH caches here:
+        every solver iteration recomputes kernel blocks, trading FLOPs for
+        the cache's HBM footprint — its exact reference meaning, applied at
+        the one place this engine chooses between caching and recompute."""
         import math
 
+        from .. import settings
+
+        if settings.memory_efficient.on():
+            return self._matmul
         if self.matvec_closure_impl is not None:
             closure = self.matvec_closure_impl(
                 self.x1, self.x2, self.params, self.symmetric
@@ -156,6 +166,75 @@ class KernelLinearOperator(LinearOperator):
         out = jnp.moveaxis(out, 0, -3)
         out = out.reshape(*out.shape[:-3], nblocks * self.block_rows, out.shape[-1])
         return out[..., :n, :]
+
+    def _bilinear_derivative(self, left_vecs, right_vecs):
+        """Fused blocked backward (one formation sweep).
+
+        The default path — ``jax.grad`` through the ``jax.checkpoint``ed
+        blocked ``_matmul`` — runs the forward mat-vec (one kernel-block
+        formation sweep) and then REMATERIALIZES every block a second time
+        inside the VJP.  Taking the gradient PER BLOCK inside the sweep
+        instead keeps each block's residuals alive only for that block, so
+        the whole bilinear derivative costs ONE formation sweep plus the
+        narrow cotangent contractions (the reference's analytic
+        ``_bilinear_derivative`` overrides exist for the same reason,
+        _linear_operator.py:336-393).
+        """
+        n = self.x1.shape[-2]
+        if self.matvec_impl is not None or n <= self.block_rows:
+            # small (single-block: residuals fit, default stores them once)
+            # or fused-Pallas mat-vec (its own VJP wiring applies)
+            return super()._bilinear_derivative(left_vecs, right_vecs)
+
+        nblocks = -(-n // self.block_rows)
+        pad = nblocks * self.block_rows - n
+        x1p = jnp.pad(self.x1, [(0, 0)] * (self.x1.ndim - 2) + [(0, pad), (0, 0)])
+        x1b = jnp.moveaxis(
+            x1p.reshape(*x1p.shape[:-2], nblocks, self.block_rows, x1p.shape[-1]),
+            -3,
+            0,
+        )  # (nblocks, *b1, block, d)
+        # zero-pad left along n: pad rows contribute zero cotangent
+        lp = jnp.pad(
+            left_vecs, [(0, 0)] * (left_vecs.ndim - 2) + [(0, pad), (0, 0)]
+        )
+        lb = jnp.moveaxis(
+            lp.reshape(*lp.shape[:-2], nblocks, self.block_rows, lp.shape[-1]),
+            -3,
+            0,
+        )  # (nblocks, *bl, block, t)
+
+        def block_grad(x1_block, left_block):
+            def g(x1_block, x2, params):
+                kb = self.covar_func(x1_block, x2, **params)
+                return jnp.sum(
+                    left_block
+                    * jnp.matmul(kb, right_vecs, precision=jax.lax.Precision.HIGH)
+                )
+
+            return jax.grad(g, argnums=(0, 1, 2), allow_int=True)(
+                x1_block, self.x2, self.params
+            )
+
+        dx1b, dx2b, dparamsb = jax.lax.map(
+            lambda ab: block_grad(*ab), (x1b, lb)
+        )
+        dx1 = jnp.moveaxis(dx1b, 0, -3)
+        dx1 = dx1.reshape(*dx1.shape[:-3], nblocks * self.block_rows, dx1.shape[-1])
+        dx1 = dx1[..., :n, :]
+        dx2 = jnp.sum(dx2b, axis=0)
+        dparams = jax.tree_util.tree_map(lambda a: jnp.sum(a, axis=0), dparamsb)
+        return KernelLinearOperator(
+            dx1,
+            dx2,
+            dparams,
+            covar_func=self.covar_func,
+            block_rows=self.block_rows,
+            symmetric=self.symmetric,
+            matvec_impl=self.matvec_impl,
+            materialize_threshold=self.materialize_threshold,
+            matvec_closure_impl=self.matvec_closure_impl,
+        )
 
     def _diagonal(self) -> jax.Array:
         # Pairwise evaluation: treat n as a batch dim, 1x1 kernel blocks.
@@ -446,17 +525,29 @@ def _pallas_covar_matvec(
         f1 = jnp.broadcast_to(x1s, (*batch, *x1s.shape[-2:])).reshape(
             -1, *x1s.shape[-2:]
         )
-        f2 = jnp.broadcast_to(x2s, (*batch, *x2s.shape[-2:])).reshape(
-            -1, *x2s.shape[-2:]
-        )
         rb = (
             jnp.broadcast_to(rhs, (*batch, *rhs.shape[-2:]))
             .reshape(-1, *rhs.shape[-2:])
             .astype(jnp.float32)
         )
-        out = jax.vmap(lambda a, b, v: kernel_matvec(a, b, v, tile, covar))(
-            f1, f2, rb
-        )
+        if (
+            symmetric
+            and x1s.shape[-2] == x2s.shape[-2]
+            and sym_matvec_supported(x1s.shape[-2], rhs.shape[-1], 0)
+        ):
+            # Batched GPs get the halved-transcendental symmetric engine too
+            # (vmap adds a leading grid dim to the tile program; the
+            # column-accumulator VMEM budget is per program instance).
+            out = jax.vmap(
+                lambda a, v: kernel_matvec_sym(a, v, 1024, covar)
+            )(f1, rb)
+        else:
+            f2 = jnp.broadcast_to(x2s, (*batch, *x2s.shape[-2:])).reshape(
+                -1, *x2s.shape[-2:]
+            )
+            out = jax.vmap(lambda a, b, v: kernel_matvec(a, b, v, tile, covar))(
+                f1, f2, rb
+            )
         out = out.reshape(*batch, *out.shape[-2:])
     return (os_ * out).astype(rhs.dtype)
 

@@ -61,6 +61,29 @@ class KroneckerProductAddedDiagLinearOperator(AddedDiagLinearOperator):
     def _kron(self) -> KroneckerProductLinearOperator:
         return self.operators[0]
 
+    def with_preconditioner(self, factor=None):
+        """No-op when an exact spectral path applies (constant diag ->
+        eigenvalue shift; Kronecker diag with matching factors -> Rakitsch
+        whitening): CG never runs there, so a preconditioner factor could
+        never be consumed.  Falls back to the AddedDiag machinery only for
+        the genuinely iterative case (mismatched Kronecker diag)."""
+        if self._is_constant_diag or (
+            self._is_kron_diag and self._whitening_shapes_match
+        ):
+            return self
+        return super().with_preconditioner(factor)
+
+    @property
+    def _whitening_shapes_match(self) -> bool:
+        """Cheap structural predicate for whether ``_whitened_eigen`` will
+        apply (same factor count, matching per-factor sizes) — no eigh."""
+        d_factors = self.operators[1].operators
+        k_factors = self._kron.operators
+        return len(d_factors) == len(k_factors) and all(
+            kf.shape[-1] == df.shape[-1]
+            for kf, df in zip(k_factors, d_factors)
+        )
+
     @property
     def _is_constant_diag(self) -> bool:
         return isinstance(self.operators[1], ConstantDiagLinearOperator)

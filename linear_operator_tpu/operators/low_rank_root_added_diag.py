@@ -106,12 +106,26 @@ class LowRankRootAddedDiagLinearOperator(AddedDiagLinearOperator):
         object.__setattr__(self, "cap_chol", cap_chol)
         self.__post_init__()
 
+    def with_preconditioner(self, factor=None):
+        """No-op: solves here are exact Woodbury (``_preconditioner`` is
+        (None,)*3), so a preconditioner factor could never be consumed —
+        building one would be pure waste plus a dead pytree leaf.  Use
+        :meth:`factorize` for the cap-matrix reuse instead."""
+        return self
+
     def factorize(self) -> "LowRankRootAddedDiagLinearOperator":
         """Return the same operator carrying the cap-matrix Cholesky, so
         solve + inv_quad_logdet + logdet on the result cost ONE O(n r^2)
         factorization between them.  Pass the result to further calls (or
         as ``factored=`` / ``with_factorization``) exactly where the
-        reference relies on its per-object memoize cache."""
+        reference relies on its per-object memoize cache.
+
+        Staleness contract: ``cap_chol`` is valid ONLY for the exact
+        ``operators`` leaves it was built from.  A generic leaf update
+        (``jax.tree_util.tree_map`` over the operator, an optimizer step on
+        U or D) keeps the stale factor silently — re-``factorize()`` after
+        any leaf update (in-repo paths construct fresh operators, which
+        drops the factor correctly)."""
         from .._pytree import replace
 
         U = self._root

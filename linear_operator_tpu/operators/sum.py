@@ -51,6 +51,22 @@ class SumLinearOperator(LinearOperator):
 
         return mm
 
+    def _bilinear_derivative(self, left_vecs, right_vecs):
+        """Distribute over terms (reference sum_linear_operator.py:84-90):
+        d sum(left^T (ΣA_i) right) splits term-wise, so structured terms keep
+        their fused/analytic backwards (e.g. KernelLinearOperator's blocked
+        one-sweep backward) instead of everything routing through one
+        ``jax.grad`` of the summed ``_matmul``."""
+        from .._pytree import replace, tree_map_leaves
+
+        terms = tuple(
+            op._bilinear_derivative(left_vecs, right_vecs) for op in self.operators
+        )
+        # zero cotangents for any extra non-operator children carried by
+        # subclasses (AddedDiag.precond_factor, LowRankRootAddedDiag.cap_chol)
+        zeros = tree_map_leaves(jnp.zeros_like, self)
+        return replace(zeros, operators=terms)
+
     def _shape(self) -> tuple[int, ...]:
         batch = broadcast_shapes(*(op.batch_shape for op in self.operators))
         return (*batch, *self.operators[0].matrix_shape)

@@ -93,17 +93,30 @@ def _current_physical_mesh() -> Mesh | None:
 
 
 def maybe_shard_probes(arr: jax.Array) -> jax.Array:
-    """Constrain the trailing (probe/column) dim of a stacked-probes array
-    to the ambient mesh's ``probe`` axis (and its -2 dim, the matrix N, to
-    ``model``).  No-op outside a mesh or without a probe axis — callers can
-    apply it unconditionally (functions/_inv_quad_logdet.py does)."""
+    """Constrain a (batch of) stacked-probes/rhs array to the ambient mesh:
+    trailing (probe/column) dim over ``probe``, the -2 dim (matrix N) over
+    ``model``, and the leading batch dim over ``data``.  No-op outside a
+    mesh — callers can apply it unconditionally.
+
+    Constraining the FULL spec (including batch) matters: callers apply this
+    to both operands of the [probes | rhs] concatenate AND to its result, so
+    the concatenate is born in the target layout.  Leaving the batch dim
+    unconstrained lets GSPMD propagate a conflicting batch-sharded layout
+    into the concatenate and then resolve the mismatch by involuntary full
+    rematerialization (replicate-then-reshard) every training step — the
+    round-2 defect recorded in MULTICHIP_r02.json."""
     mesh = _current_physical_mesh()
-    if mesh is None or "probe" not in mesh.axis_names:
+    if mesh is None:
         return arr
     spec = [None] * arr.ndim
-    spec[-1] = "probe"
+    if "probe" in mesh.axis_names:
+        spec[-1] = "probe"
     if "model" in mesh.axis_names and arr.ndim >= 2:
         spec[-2] = "model"
+    if "data" in mesh.axis_names and arr.ndim >= 3:
+        spec[0] = "data"
+    if all(s is None for s in spec):
+        return arr
     return jax.lax.with_sharding_constraint(arr, NamedSharding(mesh, P(*spec)))
 
 

@@ -318,7 +318,15 @@ class max_root_decomposition_size(_value_context):
 
 
 class memory_efficient(_feature_flag):
-    """Prefer recomputation over caching (reference settings.py:441-450)."""
+    """Prefer recomputation over caching (reference settings.py:441-450).
+
+    Consumed by ``KernelLinearOperator._matmul_closure``: when on, iterative
+    solvers recompute kernel blocks every iteration instead of materializing
+    a per-solve K cache (or the bf16 tile cache) — the reference's
+    saved-tensor-vs-recompute trade (functions/_matmul.py:26, _solve.py:65)
+    applied at this engine's one cache-vs-recompute choice point.  Elsewhere
+    the engine already recomputes by design (``jax.checkpoint`` in the
+    blocked mat-vec)."""
 
     _default = False
 
@@ -366,10 +374,14 @@ class terminate_cg_by_size(_feature_flag):
 
 
 class trace_mode(_feature_flag):
-    """Kept for API parity (reference settings.py:544-559).
+    """INERT — kept for API parity (reference settings.py:544-559).
 
-    The rebuild is trace-safe by construction (all solver loops are
-    ``lax.while_loop``s), so this flag is a no-op.
+    The reference uses it to make code ``torch.jit.trace``-able by skipping
+    data-dependent branches; the rebuild is trace-safe by construction (all
+    solver loops are ``lax.while_loop``s with masked convergence, no
+    data-dependent Python control flow), so every path already behaves as
+    the reference does under trace_mode=True.  Setting it has no effect —
+    asserted by tests/test_settings.py.
     """
 
     _default = False
@@ -429,9 +441,13 @@ class verbose_linalg(_feature_flag):
 
 
 class stable_qr_host_threshold(_value_context):
-    """Below this size QR may run on host (reference settings.py:608-615,
-    ``stable_qr_cpu_threshold``). On TPU we keep QR on-device; retained for
-    API parity."""
+    """INERT — retained for API parity only (reference settings.py:608-615,
+    ``stable_qr_cpu_threshold``).  The reference dispatches small QRs to CPU
+    to dodge slow/fragile CUDA QR at tiny sizes; on TPU `utils/qr.py` keeps
+    QR on-device unconditionally (XLA's QR is fine at small sizes, and a
+    host round-trip inside a jitted solve would stall the pipeline), so this
+    value is read by nothing.  Setting it has no effect — asserted by
+    tests/test_settings.py."""
 
     _global_value = 128
 

@@ -167,6 +167,97 @@ class TestShardingPartitions(BaseTestCase):
         self.assertTrue(len(out_shardings) > 0)
 
 
+class TestShardedParity(BaseTestCase):
+    """Sharded-vs-unsharded numerical parity (VERDICT r2 item 2): the mesh
+    must compute the SAME loss and gradients as the 1-device run — the
+    multi-chip analog of the reference's golden-model harness contract
+    (reference test/linear_operator_test_case.py:516-535).  CG paths are
+    deterministic given the key, so parity holds to f32 reduction-order
+    tolerance."""
+
+    def _loss_fn(self, model, x, y):
+        def loss(p):
+            with settings.max_cholesky_size(0), settings.num_trace_samples(4), \
+                 settings.max_cg_iterations(30), settings.cg_tolerance(1e-6), \
+                 settings.min_preconditioning_size(10**9):
+                return model.neg_mll(p, x, y, key=jax.random.PRNGKey(7))
+
+        return loss
+
+    def _parity(self, mesh_kwargs):
+        model = ExactGPRegression(block_rows=32)
+        B, n, d = 8, 32, 2
+        x = jax.random.normal(self.key, (B, n, d), dtype=jnp.float32)
+        y = jnp.sin(3 * x[..., 0])
+        params = model.init_params(d)
+        loss = self._loss_fn(model, x, y)
+        l_ref, g_ref = jax.jit(jax.value_and_grad(loss))(params)
+
+        mesh = make_mesh(8, **mesh_kwargs)
+        xs, ys = shard_gp_batch(mesh, x, y)
+        loss_sh = self._loss_fn(model, xs, ys)
+        with mesh:
+            l_sh, g_sh = jax.jit(jax.value_and_grad(loss_sh))(params)
+        self.assertAllClose(jnp.asarray(l_sh), jnp.asarray(l_ref), rtol=1e-5, atol=1e-6)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_sh), jax.tree_util.tree_leaves(g_ref)
+        ):
+            self.assertAllClose(a, b, rtol=1e-4, atol=1e-5)
+
+    def test_parity_data_only(self):
+        self._parity(dict(model=1))
+
+    def test_parity_data_model(self):
+        self._parity(dict(model=2))
+
+    def test_parity_data_model_probe(self):
+        self._parity(dict(model=2, probe=2))
+
+
+class TestNoInvoluntaryRemat(BaseTestCase):
+    """Regression for MULTICHIP_r02.json: the sharded training step's
+    compile must not emit an SPMD "Involuntary full rematerialization"
+    diagnostic (the [probes | rhs] concatenate used to arrive in a
+    conflicting layout and get replicated every step; fixed by constraining
+    both concat operands — functions/_inv_quad_logdet.py,
+    parallel/sharding.py:maybe_shard_probes)."""
+
+    def test_sharded_step_compile_has_no_remat_warning(self):
+        import optax
+        import os
+        import tempfile
+
+        mesh = make_mesh(8, model=2, probe=2)
+        model = ExactGPRegression(block_rows=32)
+        # unique shapes so the compile is fresh (not served from jit cache)
+        B, n, d = 4, 96, 3
+        x = jax.random.normal(self.key, (B, n, d), dtype=jnp.float32)
+        y = jnp.sin(3 * x[..., 0])
+        params = model.init_params(d)
+        opt = optax.adam(1e-2)
+        state = opt.init(params)
+        xs, ys = shard_gp_batch(mesh, x, y)
+        step = sharded_train_step(model, opt, mesh)
+
+        # XLA's SPMD partitioner logs through C++ absl to fd 2 — capture the
+        # raw fd around the compile (redirect_stderr can't see C++ writes).
+        with tempfile.TemporaryFile(mode="w+") as cap:
+            saved = os.dup(2)
+            try:
+                os.dup2(cap.fileno(), 2)
+                with mesh:
+                    with settings.max_cholesky_size(0), settings.num_trace_samples(4), \
+                         settings.max_cg_iterations(10), \
+                         settings.min_preconditioning_size(10**9):
+                        step.lower(params, state, xs, ys, jax.random.PRNGKey(0)).compile()
+            finally:
+                os.dup2(saved, 2)
+                os.close(saved)
+            cap.seek(0)
+            diagnostics = cap.read()
+        self.assertNotIn("Involuntary full rematerialization", diagnostics)
+
+
 class TestShardedSKI(BaseTestCase):
     """SKI/grid-interp on the mesh: the one-hot engine's blocked panels are
     row-sharded over the ``model`` axis (utils/grid_interp.py

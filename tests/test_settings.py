@@ -184,5 +184,167 @@ class TestFlagsDriveBehavior(BaseTestCase):
         self.assertEqual(l5.shape, bad.shape)
 
 
+class TestMemoryEfficient(BaseTestCase):
+    """``memory_efficient`` consumes at the kernel engine's one
+    cache-vs-recompute choice (reference functions/_matmul.py:26 meaning)."""
+
+    def _op(self):
+        import jax
+
+        from linear_operator_tpu.operators.kernel import rbf_kernel_operator
+
+        x = jax.random.normal(self.key, (32, 2), dtype=jnp.float64)
+        return rbf_kernel_operator(x, lengthscale=1.0, outputscale=1.0)
+
+    def test_off_returns_cached_closure(self):
+        from linear_operator_tpu.operators.kernel import KernelLinearOperator
+
+        op = self._op()
+        closure = op._matmul_closure()
+        # small operator: the per-solve K cache path, not the bound _matmul
+        self.assertIsNot(
+            getattr(closure, "__func__", closure), KernelLinearOperator._matmul
+        )
+
+    def test_on_forces_recompute(self):
+        from linear_operator_tpu.operators.kernel import KernelLinearOperator
+
+        op = self._op()
+        with settings.memory_efficient(True):
+            closure = op._matmul_closure()
+        self.assertIs(closure.__func__, KernelLinearOperator._matmul)
+
+    def test_same_results_either_way(self):
+        import jax
+
+        op = self._op()
+        rhs = jax.random.normal(jax.random.PRNGKey(1), (32, 3), dtype=jnp.float64)
+        with settings.memory_efficient(True):
+            a = op._matmul_closure()(rhs)
+        b = op._matmul_closure()(rhs)
+        # the cache path stores K in f32 by design (TPU HBM budget), so
+        # agreement is to f32 tolerance under x64 tests
+        self.assertAllClose(a, b, rtol=1e-5, atol=1e-6)
+
+
+class TestInertParityFlags(BaseTestCase):
+    """``trace_mode`` and ``stable_qr_host_threshold`` are documented
+    no-ops (docs/settings.md): flipping them changes NOTHING — these tests
+    pin the documented inertness so a future consumer must update the docs."""
+
+    def test_trace_mode_is_noop(self):
+        import numpy as np
+
+        from linear_operator_tpu.operators import DenseLinearOperator
+
+        rng = np.random.default_rng(0)
+        a = jnp.asarray(rng.standard_normal((20, 20)), jnp.float64)
+        op = DenseLinearOperator(a @ a.T + 20 * jnp.eye(20, dtype=jnp.float64))
+        rhs = jnp.asarray(rng.standard_normal((20, 2)), jnp.float64)
+        with settings.max_cholesky_size(0), settings.min_preconditioning_size(10**9):
+            base = op.solve(rhs)
+            with settings.trace_mode(True):
+                assert settings.trace_mode.on()
+                traced = op.solve(rhs)
+        self.assertAllClose(base, traced, rtol=0, atol=0)
+
+    def test_stable_qr_host_threshold_is_noop(self):
+        import numpy as np
+
+        from linear_operator_tpu.utils.qr import stable_qr
+
+        rng = np.random.default_rng(0)
+        mat = jnp.asarray(rng.standard_normal((40, 8)), jnp.float64)
+        q0, r0 = stable_qr(mat)
+        with settings.stable_qr_host_threshold(10**9):
+            q1, r1 = stable_qr(mat)
+        with settings.stable_qr_host_threshold(0):
+            q2, r2 = stable_qr(mat)
+        for a, b in [(q0, q1), (q0, q2), (r0, r1), (r0, r2)]:
+            self.assertAllClose(a, b, rtol=0, atol=0)
+        # the deprecated reference spelling is the same context object
+        self.assertIs(settings.stable_qr_cpu_threshold, settings.stable_qr_host_threshold)
+
+
+class TestPreconditionerFactorGating(BaseTestCase):
+    """ADVICE r2: with_preconditioner must not build factors that the solve
+    dispatch can never consume."""
+
+    def _added_diag(self, n=24):
+        import numpy as np
+
+        from linear_operator_tpu.operators import (
+            AddedDiagLinearOperator,
+            DenseLinearOperator,
+            DiagLinearOperator,
+        )
+
+        rng = np.random.default_rng(0)
+        a = jnp.asarray(rng.standard_normal((n, n)), jnp.float64)
+        return AddedDiagLinearOperator(
+            DenseLinearOperator(a @ a.T),
+            DiagLinearOperator(jnp.full((n,), 0.5, dtype=jnp.float64)),
+        )
+
+    def test_noop_below_max_cholesky_size(self):
+        op = self._added_diag()
+        with settings.max_preconditioner_size(4), settings.min_preconditioning_size(2):
+            # n=24 <= max_cholesky_size default 800: Cholesky path, no factor
+            self.assertIs(op.with_preconditioner(), op)
+
+    def test_noop_when_fast_computations_off(self):
+        op = self._added_diag()
+        with settings.max_preconditioner_size(4), settings.min_preconditioning_size(2), \
+             settings.max_cholesky_size(0), settings.fast_computations(
+                 solves=False, log_prob=False):
+            self.assertIs(op.with_preconditioner(), op)
+
+    def test_builds_factor_on_cg_path(self):
+        op = self._added_diag()
+        with settings.max_preconditioner_size(4), settings.min_preconditioning_size(2), \
+             settings.max_cholesky_size(0):
+            out = op.with_preconditioner()
+        self.assertIsNot(out, op)
+        self.assertIsNotNone(out.precond_factor)
+
+    def test_noop_on_exact_woodbury_operator(self):
+        import jax
+
+        from linear_operator_tpu.operators import (
+            DiagLinearOperator,
+            LowRankRootLinearOperator,
+        )
+
+        u = jax.random.normal(self.key, (30, 3), dtype=jnp.float64)
+        op = LowRankRootLinearOperator(u) + DiagLinearOperator(
+            jnp.full((30,), 0.5, dtype=jnp.float64)
+        )
+        with settings.max_preconditioner_size(4), settings.min_preconditioning_size(2), \
+             settings.max_cholesky_size(0):
+            self.assertIs(op.with_preconditioner(), op)
+
+    def test_noop_on_exact_spectral_kronecker(self):
+        import numpy as np
+
+        from linear_operator_tpu.operators import (
+            ConstantDiagLinearOperator,
+            DenseLinearOperator,
+            KroneckerProductLinearOperator,
+        )
+
+        rng = np.random.default_rng(0)
+        fa = jnp.asarray(rng.standard_normal((4, 4)), jnp.float64)
+        fb = jnp.asarray(rng.standard_normal((5, 5)), jnp.float64)
+        kp = KroneckerProductLinearOperator(
+            (DenseLinearOperator(fa @ fa.T), DenseLinearOperator(fb @ fb.T))
+        )
+        op = kp + ConstantDiagLinearOperator(
+            jnp.asarray([0.5], dtype=jnp.float64), 20
+        )
+        with settings.max_preconditioner_size(4), settings.min_preconditioning_size(2), \
+             settings.max_cholesky_size(0):
+            self.assertIs(op.with_preconditioner(), op)
+
+
 if __name__ == "__main__":
     unittest.main()
