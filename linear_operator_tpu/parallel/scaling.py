@@ -26,14 +26,23 @@ def mll_throughput(
     mesh,
     *,
     batch_per_device: int = 1,
-    n: int = 4096,
+    n: int = 16384,
     d: int = 3,
     num_probes: int = 10,
     block_rows: int = 4096,
     reps: int = 3,
 ) -> float:
-    """solves/s of the forward+backward sharded neg-MLL on this mesh."""
-    model = ExactGPRegression(block_rows=block_rows)
+    # default n=16384: large enough that the row-sharded kernel mat-vec
+    # (not CG epilogue overhead) dominates, so the report is sensitive to a
+    # collectives/layout regression (VERDICT r2 item 5)
+    """solves/s of the forward+backward sharded neg-MLL on this mesh.
+
+    The kernel engine always STREAMS blocks here (materialize_threshold
+    None): the per-solve K cache gates on total bytes, so it would flip
+    between caching at B=1 and streaming at larger device counts —
+    different engines across the efficiency curve would make the scaling
+    numbers meaningless."""
+    model = ExactGPRegression(block_rows=block_rows, materialize_threshold=None)
     B = mesh.shape["data"] * batch_per_device
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (B, n, d), dtype=jnp.float32)
