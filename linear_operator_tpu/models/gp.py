@@ -127,11 +127,17 @@ class ExactGPRegression:
         # when preconditioning is gated off.
         K = self.train_operator(params, x).with_preconditioner()
         k_star = self.covariance(params, x_star, x)  # (*b, m, n)
-        alpha = solve(K, y[..., None])  # (*b, n, 1)
+        # ONE batched CG over [y | k_star^T]: predictive mean and variance
+        # solves share every kernel mat-vec — extra rhs columns ride the
+        # same MXU contraction (BASELINE.md probe-sweep table), so this is
+        # ~2x the separate-solves formulation for m <= ~100 query points.
+        ks_t = k_star.mT.to_dense()  # (*b, n, m)
+        stacked = jnp.concatenate(
+            [jnp.broadcast_to(y[..., None], (*ks_t.shape[:-1], 1)), ks_t], axis=-1
+        )
+        sol = solve(K, stacked)
+        alpha, v = sol[..., :1], sol[..., 1:]
         mean = (k_star @ alpha)[..., 0]
-        # Predictive variance via solves against k_star^T columns (m is the
-        # number of query points, so the (n, m) block is small).
-        v = solve(K, k_star.mT.to_dense())
         k_ss_diag = self.covariance(params, x_star).diagonal()
         var = k_ss_diag - jnp.einsum("...mn,...nm->...m", k_star.to_dense(), v)
         return mean, jnp.maximum(var, 0.0)
