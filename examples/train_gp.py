@@ -11,13 +11,18 @@ SKI/KISS-GP structured approximation, and the SGPR inducing-point bound.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import optax
 
-from linear_operator_tpu.models import (
+# python puts the SCRIPT's dir (examples/) on sys.path, not the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from linear_operator_tpu.models import (  # noqa: E402
     ExactGPRegression,
     SGPRRegression,
     SKIGPRegression,

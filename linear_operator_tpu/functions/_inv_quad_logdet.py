@@ -77,11 +77,7 @@ def inv_quad_logdet(
         return _finish(op, iq, ld, rhs, reduce_inv_quad)
 
     n = op.shape[-1]
-    use_cholesky = (
-        n <= settings.max_cholesky_size.value()
-        or settings.fast_computations.log_prob.off()
-    )
-    if use_cholesky:
+    if settings.use_cholesky_for_log_prob(n):
         chol = op._cholesky_impl(upper=False)
         iq, ld = chol_iqld(chol, rhs, logdet, op.batch_shape, op.dtype)
         return _finish(op, iq, ld, rhs, reduce_inv_quad)

@@ -31,7 +31,7 @@ def _dispatch_solve(op, rhs: jax.Array) -> jax.Array:
     if s is not None:
         return s
     n = op.shape[-1]
-    if n <= settings.max_cholesky_size.value() or settings.fast_computations.solves.off():
+    if settings.use_cholesky_for_solves(n):
         chol = op._cholesky_impl(upper=False)
         return chol._cholesky_solve(rhs)
     closure, _, _ = op._preconditioner()

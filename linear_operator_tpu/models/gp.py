@@ -132,8 +132,18 @@ class ExactGPRegression:
         # same MXU contraction (BASELINE.md probe-sweep table), so this is
         # ~2x the separate-solves formulation for m <= ~100 query points.
         ks_t = k_star.mT.to_dense()  # (*b, n, m)
+        # y may carry batch dims that x (and hence ks_t) lacks, or vice
+        # versa — broadcast both operands to the joint batch shape before
+        # stacking (solve() broadcasts rhs batch dims, so this preserves the
+        # separate-solves semantics for (B, n) targets over shared inputs).
+        y_col = y[..., None]  # (*by, n, 1)
+        batch = jnp.broadcast_shapes(y_col.shape[:-1], ks_t.shape[:-1])
         stacked = jnp.concatenate(
-            [jnp.broadcast_to(y[..., None], (*ks_t.shape[:-1], 1)), ks_t], axis=-1
+            [
+                jnp.broadcast_to(y_col, (*batch, 1)),
+                jnp.broadcast_to(ks_t, (*batch, ks_t.shape[-1])),
+            ],
+            axis=-1,
         )
         sol = solve(K, stacked)
         alpha, v = sol[..., :1], sol[..., 1:]

@@ -113,10 +113,7 @@ class AddedDiagLinearOperator(SumLinearOperator):
             n = self.shape[-1]
             if k == 0 or n < settings.min_preconditioning_size.value():
                 return self
-            if n <= settings.max_cholesky_size.value() or (
-                settings.fast_computations.solves.off()
-                and settings.fast_computations.log_prob.off()
-            ):
+            if settings.use_cholesky_for_solves(n) and settings.use_cholesky_for_log_prob(n):
                 return self
             factor = self._build_precond_factor()
         return replace(self, precond_factor=factor)

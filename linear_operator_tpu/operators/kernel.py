@@ -223,7 +223,15 @@ class KernelLinearOperator(LinearOperator):
         dx1 = dx1.reshape(*dx1.shape[:-3], nblocks * self.block_rows, dx1.shape[-1])
         dx1 = dx1[..., :n, :]
         dx2 = jnp.sum(dx2b, axis=0)
-        dparams = jax.tree_util.tree_map(lambda a: jnp.sum(a, axis=0), dparamsb)
+        def _sum_blocks(a):
+            # Int param leaves produce float0 cotangents (symbolic zeros;
+            # grad ran with allow_int, matching the base path) — drop the
+            # stacked block dim instead of summing, since float0 has no sum.
+            if a.dtype == jax.dtypes.float0:
+                return a[0]
+            return jnp.sum(a, axis=0)
+
+        dparams = jax.tree_util.tree_map(_sum_blocks, dparamsb)
         return KernelLinearOperator(
             dx1,
             dx2,

@@ -167,6 +167,15 @@ class KroneckerProductAddedDiagLinearOperator(AddedDiagLinearOperator):
         return None
 
     def _inv_quad_logdet_structure(self, rhs, logdet):
+        if (
+            self._is_kron_diag
+            and not self._is_constant_diag
+            and not self._whitening_shapes_match
+        ):
+            # Mismatched Kronecker diag: no whitened eigen fast path —
+            # return None so the generic CG machinery (which
+            # with_preconditioner prepared for exactly this case) runs.
+            return None
         if self._is_kron_diag and not self._is_constant_diag:
             s = self._solve_structure(rhs) if rhs is not None else None
             iq = (

@@ -16,6 +16,19 @@ from ._linear_operator import LinearOperator
 from ..utils.errors import NotPSDError
 
 
+def _broadcast_factor_rhs(dense: jax.Array, rhs: jax.Array):
+    """Broadcast factor and rhs to joint batch dims: unlike jnp.matmul,
+    ``lax.linalg.triangular_solve`` requires equal batch ranks, but the
+    reference's torch.linalg.solve_triangular broadcasts (e.g. a batched rhs
+    against an unbatched Cholesky factor — the batched-targets GP posterior
+    path)."""
+    batch = jnp.broadcast_shapes(dense.shape[:-2], rhs.shape[:-2])
+    return (
+        jnp.broadcast_to(dense, (*batch, *dense.shape[-2:])),
+        jnp.broadcast_to(rhs, (*batch, *rhs.shape[-2:])),
+    )
+
+
 @operator_class
 class TriangularLinearOperator(LinearOperator):
     _tensor: LinearOperator
@@ -57,7 +70,7 @@ class TriangularLinearOperator(LinearOperator):
             inner = self._tensor._solve_structure(rhs)
             if inner is not None:
                 return inner
-        dense = self.to_dense()
+        dense, rhs = _broadcast_factor_rhs(self.to_dense(), rhs)
         return lax.linalg.triangular_solve(
             dense, rhs, left_side=True, lower=not self.upper
         )
@@ -92,7 +105,7 @@ class TriangularLinearOperator(LinearOperator):
     def _cholesky_solve(self, rhs: jax.Array) -> jax.Array:
         """Solve (R R^T) x = rhs via two triangular solves, where R = self is
         the (lower or upper) root factor (reference :74-92)."""
-        dense = self.to_dense()
+        dense, rhs = _broadcast_factor_rhs(self.to_dense(), rhs)
         lower = not self.upper
         y = lax.linalg.triangular_solve(dense, rhs, left_side=True, lower=lower)
         return lax.linalg.triangular_solve(

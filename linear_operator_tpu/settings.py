@@ -456,6 +456,25 @@ class stable_qr_host_threshold(_value_context):
 stable_qr_cpu_threshold = stable_qr_host_threshold
 
 
+def use_cholesky_for_solves(n: int) -> bool:
+    """THE solve-dispatch predicate (reference functions/_solve.py:10-22):
+    True when ``solve`` takes the direct Cholesky path instead of
+    preconditioned CG.  Single source of truth consumed by
+    ``functions/_solve._dispatch_solve`` and
+    ``AddedDiagLinearOperator.with_preconditioner`` — keep any change here so
+    the preconditioner gate cannot desync from the solver dispatch."""
+    return n <= max_cholesky_size.value() or fast_computations.solves.off()
+
+
+def use_cholesky_for_log_prob(n: int) -> bool:
+    """The inv_quad_logdet-dispatch predicate (reference
+    _linear_operator.py:1713-1731): True when ``inv_quad_logdet`` takes the
+    exact Cholesky path instead of stochastic CG+SLQ.  Shared by
+    ``functions/_inv_quad_logdet`` and the preconditioner gate (see
+    :func:`use_cholesky_for_solves`)."""
+    return n <= max_cholesky_size.value() or fast_computations.log_prob.off()
+
+
 def record_linalg(name: str, *shapes) -> None:
     """Hook used by solvers when ``verbose_linalg`` is on (reference
     linear_cg.py:193-196, lanczos.py:60-63, minres.py:124-128)."""

@@ -17,7 +17,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, ".")
+sys.path.insert(0, "/root/repo")
 
 from bench import build_benchmark  # noqa: E402
 from linear_operator_tpu.operators._linear_operator import LinearOperator  # noqa: E402

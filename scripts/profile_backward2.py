@@ -13,7 +13,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, ".")
+sys.path.insert(0, "/root/repo")
 
 from linear_operator_tpu import settings  # noqa: E402
 from linear_operator_tpu.models import ExactGPRegression  # noqa: E402

@@ -14,7 +14,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, ".")
+sys.path.insert(0, "/root/repo")
 
 from bench import build_benchmark  # noqa: E402
 

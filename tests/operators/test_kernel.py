@@ -578,6 +578,54 @@ class TestFusedBilinearDerivative(BaseTestCase):
         right = jax.random.normal(jax.random.PRNGKey(2), (B, n, t), dtype=jnp.float64)
         self._check(op, left, right)
 
+    def test_int_param_leaf_yields_float0(self):
+        """Int param leaves (e.g. active-dimension indices for a custom
+        covar_func — the allow_int case) must survive the fused blocked
+        path: per-block grads produce float0 cotangents, which cannot be
+        jnp.sum'd over blocks and must pass through untouched, matching the
+        base path."""
+        from linear_operator_tpu.operators.kernel import (
+            KernelLinearOperator,
+            rbf_covar,
+        )
+        from linear_operator_tpu.operators._linear_operator import LinearOperator
+
+        def covar(x1, x2, lengthscale, dims):
+            return rbf_covar(
+                jnp.take(x1, dims, axis=-1),
+                jnp.take(x2, dims, axis=-1),
+                lengthscale,
+                jnp.asarray(1.0, x1.dtype),
+            )
+
+        n, d, t = 80, 3, 4
+        x = jax.random.normal(self.key, (n, d), dtype=jnp.float64)
+        op = KernelLinearOperator(
+            x,
+            x,
+            {
+                "lengthscale": jnp.asarray(1.1, dtype=jnp.float64),
+                "dims": jnp.array([0, 2]),
+            },
+            covar_func=covar,
+            block_rows=32,
+            symmetric=True,
+        )
+        left = jax.random.normal(jax.random.PRNGKey(1), (n, t), dtype=jnp.float64)
+        right = jax.random.normal(jax.random.PRNGKey(2), (n, t), dtype=jnp.float64)
+        fused = op._bilinear_derivative(left, right)
+        base = LinearOperator._bilinear_derivative(op, left, right)
+        self.assertEqual(fused.params["dims"].dtype, jax.dtypes.float0)
+        self.assertEqual(fused.params["dims"].shape, base.params["dims"].shape)
+        self.assertAllClose(
+            fused.params["lengthscale"],
+            base.params["lengthscale"],
+            rtol=1e-10,
+            atol=1e-12,
+        )
+        self.assertAllClose(fused.x1, base.x1, rtol=1e-10, atol=1e-12)
+        self.assertAllClose(fused.x2, base.x2, rtol=1e-10, atol=1e-12)
+
     def test_train_step_gradients_unchanged(self):
         """value_and_grad of the blocked-kernel MLL (CG path) vs the dense
         ground-truth gradient."""

@@ -218,3 +218,52 @@ class TestKroneckerKronDiag(BaseTestCase):
             iq, jnp.sum(jnp.linalg.solve(dense, rhs) * rhs), rtol=1e-8, atol=1e-8
         )
         self.assertAllClose(ld, jnp.linalg.slogdet(dense)[1], rtol=1e-9, atol=1e-9)
+
+    def test_kron_diag_mismatched_factors_falls_back(self):
+        """Same factor count but mismatched per-factor sizes: no whitening
+        fast path exists, so the structure hooks must return None and the
+        generic dispatch (Cholesky/CG) must produce the dense answer instead
+        of crashing on the missing fast path."""
+        from linear_operator_tpu import settings
+
+        a = _psd(jax.random.PRNGKey(110), n=4)
+        b = _psd(jax.random.PRNGKey(111), n=6)
+        d1 = jnp.abs(jax.random.normal(jax.random.PRNGKey(112), (6,), dtype=jnp.float64)) + 0.5
+        d2 = jnp.abs(jax.random.normal(jax.random.PRNGKey(113), (4,), dtype=jnp.float64)) + 0.5
+        op = KroneckerProductLinearOperator(
+            (DenseLinearOperator(a), DenseLinearOperator(b))
+        ) + KroneckerProductDiagLinearOperator(
+            (DiagLinearOperator(d1), DiagLinearOperator(d2))
+        )
+        self.assertIsInstance(op, KroneckerProductAddedDiagLinearOperator)
+        self.assertFalse(op._whitening_shapes_match)
+        dense = jnp.kron(a, b) + jnp.diag(jnp.kron(d1, d2))
+        rhs = jax.random.normal(self.key, (24, 2), dtype=jnp.float64)
+        # structure hooks: no fast path
+        self.assertIsNone(op._solve_structure(rhs))
+        self.assertIsNone(op._logdet_structure())
+        self.assertIsNone(op._inv_quad_logdet_structure(rhs, True))
+        # with_preconditioner is the path VERDICT advertises for this case
+        op = op.with_preconditioner()
+        # Cholesky dispatch (n=24 < max_cholesky_size)
+        self.assertAllClose(
+            op.solve(rhs), jnp.linalg.solve(dense, rhs), rtol=1e-8, atol=1e-8
+        )
+        iq, ld = op.inv_quad_logdet(rhs, logdet=True)
+        self.assertAllClose(
+            iq, jnp.sum(jnp.linalg.solve(dense, rhs) * rhs), rtol=1e-8, atol=1e-8
+        )
+        self.assertAllClose(ld, jnp.linalg.slogdet(dense)[1], rtol=1e-8, atol=1e-8)
+        # CG dispatch (force the iterative path the hook falls back to)
+        with settings.max_cholesky_size(0), settings.cg_tolerance(1e-12), \
+             settings.max_cg_iterations(200), settings.num_trace_samples(64):
+            self.assertAllClose(
+                op.solve(rhs), jnp.linalg.solve(dense, rhs), rtol=1e-6, atol=1e-6
+            )
+            iq, ld = op.inv_quad_logdet(
+                rhs, logdet=True, key=jax.random.PRNGKey(3)
+            )
+        self.assertAllClose(
+            iq, jnp.sum(jnp.linalg.solve(dense, rhs) * rhs), rtol=1e-5, atol=1e-5
+        )
+        self.assertAllClose(ld, jnp.linalg.slogdet(dense)[1], rtol=0.25, atol=0.5)

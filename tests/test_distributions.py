@@ -166,6 +166,33 @@ class TestPosteriorDistribution(BaseTestCase):
         self.assertTrue(bool(jnp.isfinite(lp)))
 
 
+class TestPosteriorBatchedTargets(BaseTestCase):
+    def test_batched_y_over_shared_inputs(self):
+        """posterior() with (B, n) targets over unbatched inputs: the
+        batched-CG [y | k_star^T] stacking must broadcast the rhs to the
+        joint batch shape (regression: broadcast_to cannot shrink (B,n,1)
+        to (n,1)); per-batch results must match separate unbatched calls."""
+        from linear_operator_tpu.models import ExactGPRegression
+
+        gp = ExactGPRegression()
+        params = gp.init_params(d=2)
+        x = jax.random.normal(self.key, (40, 2))
+        y = jnp.stack(
+            [
+                jnp.sin(x[:, 0]),
+                jnp.cos(2.0 * x[:, 1]),
+            ]
+        )  # (2, 40): two target sets sharing one input set
+        xs = jax.random.normal(jax.random.PRNGKey(7), (6, 2))
+        mean, var = gp.posterior(params, x, y, xs)
+        self.assertEqual(mean.shape, (2, 6))
+        self.assertEqual(var.shape, (2, 6))
+        for b in range(2):
+            mean_b, var_b = gp.posterior(params, x, y[b], xs)
+            self.assertAllClose(mean[b], mean_b, rtol=1e-4, atol=1e-5)
+            self.assertAllClose(var[b], var_b, rtol=1e-3, atol=1e-5)
+
+
 class TestPosteriorCache(BaseTestCase):
     def test_cached_posterior_matches_direct(self):
         """LOVE-style cache (models/gp.py posterior_cache): query-time
