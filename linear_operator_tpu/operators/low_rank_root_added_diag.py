@@ -71,9 +71,14 @@ def woodbury_solve_closure(
     def closure(v: jax.Array) -> jax.Array:
         dv = dinv[..., :, None] * v
         t = jnp.einsum("...nr,...nt->...rt", U, dv, precision=precision)  # (*b, r, t)
-        y = lax.linalg.triangular_solve(cap_chol, t, left_side=True, lower=True)
+        # broadcast rhs batch dims against the (possibly unbatched) factor:
+        # triangular_solve requires equal batch ranks, unlike the einsums
+        cap = jnp.broadcast_to(
+            cap_chol, (*t.shape[:-2], *cap_chol.shape[-2:])
+        )
+        y = lax.linalg.triangular_solve(cap, t, left_side=True, lower=True)
         y = lax.linalg.triangular_solve(
-            cap_chol, y, left_side=True, lower=True, transpose_a=True
+            cap, y, left_side=True, lower=True, transpose_a=True
         )
         return dv - dinv[..., :, None] * jnp.matmul(U, y, precision=precision)
 

@@ -586,6 +586,27 @@ class LinearOperatorTestCase(RectangularLinearOperatorTestCase):
                 tol_key="solve_grad",
             )
 
+    def test_solve_mat_broadcast_rhs(self):
+        """solve with an EXTRA leading rhs batch dim broadcasts against the
+        operator's own batch shape, on both the Cholesky and the CG path
+        (reference semantics: torch.linalg/cholesky_solve broadcast;
+        regression for the unbatched-factor/batched-rhs triangular solve)."""
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        b = jax.random.normal(
+            self.key, (2, *op.batch_shape, op.shape[-1], 3), dtype=op.dtype
+        )
+        with settings.fast_computations(solves=False):
+            x = op.solve(b)
+        self.assertAllClose(x, jnp.linalg.solve(dense, b), **self.tolerances["solve"])
+        if self.should_call_cg:
+            with settings.max_cholesky_size(0), settings.cg_tolerance(1e-8), \
+                 settings.max_cg_iterations(2000):
+                x = op.solve(b)
+            self.assertAllClose(
+                x, jnp.linalg.solve(dense, b), **self.tolerances["solve"]
+            )
+
     def test_solve_with_lhs(self):
         op = self.create_linear_op()
         dense = self.evaluate_linear_op(op)
