@@ -48,20 +48,22 @@ def add_jitter(op, jitter_val: float = 1e-3):
     return op.add_jitter(jitter_val)
 
 
-def sqrt_inv_matmul(op, rhs, lhs=None):
+def sqrt_inv_matmul(op, rhs, lhs=None, *, key=None):
     """K^{-1/2} rhs via contour integral quadrature (reference
-    functions/_sqrt_inv_matmul.py:10-126)."""
+    functions/_sqrt_inv_matmul.py:10-126).  ``key`` seeds the Lanczos
+    eigenvalue-range probe (stochastic-API convention: ``key=None`` means a
+    fixed key)."""
     from ._sqrt_inv_matmul import sqrt_inv_matmul as _impl
 
-    return _impl(op, rhs, lhs)
+    return _impl(op, rhs, lhs, key=key)
 
 
-def sqrt_matmul_ciq(op, rhs):
+def sqrt_matmul_ciq(op, rhs, *, key=None):
     """K^{1/2} rhs via contour integral quadrature (used by CIQ sampling,
     reference _linear_operator.py:2769-2776)."""
     from ._sqrt_inv_matmul import sqrt_matmul as _impl
 
-    return _impl(op, rhs)
+    return _impl(op, rhs, key=key)
 
 
 def dsmm(sparse, dense):

@@ -89,9 +89,8 @@ def inv_quad_logdet(
         key = jax.random.PRNGKey(0)  # deterministic_probes-style fallback
 
     if num_probes > 0:
-        _, precond_op, logdet_p = op.detach()._preconditioner()
+        closure, precond_op, logdet_p = op.detach()._preconditioner()
         if precond_op is not None:
-            closure, _, _ = op.detach()._preconditioner()
             probes = jnp.moveaxis(
                 precond_op.zero_mean_mvn_samples(num_probes, key=key), 0, -1
             )  # (*b, n, m)

@@ -503,7 +503,14 @@ class LinearOperator:
             return MulLinearOperator.from_operators(self, other)
         other = jnp.asarray(other)
         if other.ndim == 0 or other.shape[-2:] == (1, 1) or other.ndim <= self.ndim - 2:
-            return ConstantMulLinearOperator(self, jnp.asarray(other, dtype=self.dtype))
+            const = jnp.asarray(other, dtype=self.dtype)
+            if const.ndim >= 2 and const.shape[-2:] == (1, 1):
+                # strip the trailing (1, 1) matrix dims: ConstantMul carries
+                # a BATCH-shaped constant and re-appends (1, 1) itself —
+                # keeping them would misalign per-batch constants against
+                # the batch dims (reference mul, :1881-1917, squeezes too)
+                const = const[..., 0, 0]
+            return ConstantMulLinearOperator(self, const)
         from .dense import DenseLinearOperator
 
         return MulLinearOperator.from_operators(self, DenseLinearOperator(other))
@@ -873,12 +880,19 @@ class LinearOperator:
             self, rank, error_tol=error_tol, return_pivots=return_pivots
         )
 
-    def sqrt_inv_matmul(self, rhs: jax.Array, lhs: jax.Array | None = None):
+    def sqrt_inv_matmul(
+        self,
+        rhs: jax.Array,
+        lhs: jax.Array | None = None,
+        *,
+        key: jax.Array | None = None,
+    ):
         """K^{-1/2} rhs via contour integral quadrature (reference
-        ``sqrt_inv_matmul``, :2422-2466)."""
+        ``sqrt_inv_matmul``, :2422-2466).  ``key`` seeds the Lanczos
+        eigenvalue-range probe (``key=None`` = fixed key)."""
         from ..functions import sqrt_inv_matmul
 
-        return sqrt_inv_matmul(self, rhs, lhs)
+        return sqrt_inv_matmul(self, rhs, lhs, key=key)
 
     # ------------------------------------------------------------------
     # Sampling
@@ -890,18 +904,24 @@ class LinearOperator:
         """Draw N(0, K) samples, shape (num_samples, *b, N) (reference
         ``zero_mean_mvn_samples``, :2746-2793)."""
         key = _fallback_key(key)
+        # split: one stream for the decomposition's probe/init vectors, one
+        # for the sample draw — reusing a key would correlate the noise with
+        # the directions a truncated (Lanczos/CIQ) root resolves best
+        key_decomp, key_base = jax.random.split(key)
         if settings.ciq_samples.on():
             from ..functions import sqrt_matmul_ciq
 
             base = jax.random.normal(
-                key, (*self.batch_shape, self.shape[-1], num_samples), dtype=self.dtype
+                key_base,
+                (*self.batch_shape, self.shape[-1], num_samples),
+                dtype=self.dtype,
             )
-            samples = sqrt_matmul_ciq(self, base)
+            samples = sqrt_matmul_ciq(self, base, key=key_decomp)
             return jnp.moveaxis(samples, -1, 0)
-        root = self.root_decomposition(key=key).root
+        root = self.root_decomposition(key=key_decomp).root
         k = root.shape[-1]
         base = jax.random.normal(
-            key, (*self.batch_shape, k, num_samples), dtype=self.dtype
+            key_base, (*self.batch_shape, k, num_samples), dtype=self.dtype
         )
         samples = root.matmul(base)  # (*b, N, s)
         return jnp.moveaxis(samples, -1, 0)

@@ -97,7 +97,25 @@ class BatchRepeatLinearOperator(LinearOperator):
     def _solve_structure(self, rhs: jax.Array):
         if type(self.base)._solve_structure is LinearOperator._solve_structure:
             return None
-        return self._through_base(rhs, lambda x: self.base._solve_structure(x))
+
+        # The base may OVERRIDE _solve_structure yet still return None at
+        # runtime (e.g. ConstantMul over a dense base, mismatched
+        # KroneckerProductAddedDiag) — propagate that as "no fast path"
+        # instead of crashing in the reshape math.  Trace-time structure
+        # dispatch, not data-dependent control flow.
+        class _NoFastPath(Exception):
+            pass
+
+        def fn(x):
+            out = self.base._solve_structure(x)
+            if out is None:
+                raise _NoFastPath
+            return out
+
+        try:
+            return self._through_base(rhs, fn)
+        except _NoFastPath:
+            return None
 
     def repeat(self, *sizes):
         if len(sizes) == 1 and isinstance(sizes[0], (tuple, list)):

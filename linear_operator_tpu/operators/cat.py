@@ -86,6 +86,9 @@ class CatLinearOperator(LinearOperator):
             )
         # Row/col concat: per-block pointwise gathers along the diagonal —
         # no densification (reference cat_linear_operator.py ``_diagonal``).
+        # _get_indices takes EXPLICIT batch index arrays (batch dims are
+        # indexed first) — build broadcastable grids for batched blocks,
+        # else the row/col arrays would index the batch dims.
         pieces = []
         offset = 0
         for op in self.operators:
@@ -95,7 +98,20 @@ class CatLinearOperator(LinearOperator):
                 rows, cols = local, local + offset
             else:
                 rows, cols = local + offset, local
-            pieces.append(op._get_indices(rows, cols))
+            nb = len(op.batch_shape)
+            if nb == 0:
+                vals = op._get_indices(rows, cols)
+            else:
+                b_arrs = []
+                for k, s in enumerate(op.batch_shape):
+                    shp = [1] * (nb + 1)
+                    shp[k] = s
+                    b_arrs.append(jnp.arange(s).reshape(shp))
+                shp_r = (1,) * nb + (sz,)
+                vals = op._get_indices(
+                    rows.reshape(shp_r), cols.reshape(shp_r), *b_arrs
+                )
+            pieces.append(jnp.broadcast_to(vals, (*self.batch_shape, sz)))
             offset += sz
         return jnp.concatenate(pieces, axis=-1)
 

@@ -72,7 +72,17 @@ class RootLinearOperator(LinearOperator):
             and isinstance(col_index, slice)
             and row_index == col_index
         ):
-            return type(self)(left)
+            # Subclasses with constructor invariants on the root (Chol
+            # requires a TRIANGULAR root; a principal-submatrix slice of L
+            # is lower-trapezoidal (k, n)) degrade to a plain Root — the
+            # sliced factor is still an exact root of the submatrix
+            # (reference root_linear_operator.py:52-67).
+            cls = (
+                type(self)
+                if type(self) in (RootLinearOperator, LowRankRootLinearOperator)
+                else RootLinearOperator
+            )
+            return cls(left)
         return MatmulLinearOperator(left, right._transpose())
 
     def _get_indices(self, row_index, col_index, *batch_indices):

@@ -98,12 +98,13 @@ def contour_integral_quad(
     max_lanczos_iter: int = 20,
     key: jax.Array | None = None,
     inverse: bool = True,
-    shape: tuple | None = None,
 ):
-    """K^{-1/2} rhs via shifted MINRES x quadrature (reference :14-156).
+    """K^{±1/2} rhs via shifted MINRES x quadrature (reference :14-156).
 
     Returns (solves (q, *b, n, t), weights (q,)): K^{-1/2} rhs =
-    sum_j weights_j * solves_j.
+    sum_j weights_j * solves_j.  With ``inverse=False`` each solve gets one
+    extra K-matmul so the weighted sum is K^{+1/2} rhs instead (reference
+    :153-154: ``if not inverse: solves = linear_op._matmul(solves)``).
     """
     if num_quad is None:
         num_quad = settings.num_contour_quadrature.value()
@@ -137,4 +138,7 @@ def contour_integral_quad(
         max_iter=settings.max_cg_iterations.value(),
         tolerance=settings.minres_tolerance.value(),
     )
+    if not inverse:
+        # one extra matmul per shift: sum_j w_j K (K + s_j)^{-1} rhs = K^{1/2} rhs
+        solves = jax.vmap(matmul_closure)(solves)
     return solves, weights.astype(rhs.dtype)

@@ -63,7 +63,6 @@ def minres(
     if shifts is None:
         shifts = jnp.zeros((1,), dtype=rhs.dtype)
     s = shifts.shape[0]
-    shifts_b = shifts.reshape(s, *([1] * (rhs.ndim + 1 - 1)))  # (s, 1..., 1)
 
     compute_dtype = jnp.promote_types(rhs.dtype, jnp.float32)
     b = rhs.astype(compute_dtype)
