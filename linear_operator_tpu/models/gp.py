@@ -45,9 +45,7 @@ def love_posterior(K, k_star, y, k_ss_diag, *, key=None):
     and multitask model families: var = k_ss_diag - row_norms(k_star R)^2
     with R an inverse root of K.  ``k_star`` is applied lazily (never an
     (m, n) dense block for structured operators)."""
-    from ..functions import solve as _solve
-
-    alpha = _solve(K, y[..., None])
+    alpha = solve(K, y[..., None])
     mean = (k_star @ alpha)[..., 0]
     r_inv = K.root_inv_decomposition(key=key).root.to_dense()  # (n, k)
     v = k_star @ r_inv  # (m, k)

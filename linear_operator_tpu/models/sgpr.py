@@ -26,6 +26,7 @@ from ..operators.dense import DenseLinearOperator
 from ..operators.root import LowRankRootLinearOperator
 from ..operators.kernel import rbf_covar
 from ..utils.cholesky import psd_safe_cholesky
+from .gp import _softplus
 
 
 class SGPRParams(NamedTuple):
@@ -34,9 +35,6 @@ class SGPRParams(NamedTuple):
     raw_noise: jax.Array
     z: jax.Array  # (m, d) inducing locations
 
-
-def _softplus(x):
-    return jax.nn.softplus(x) + 1e-6
 
 
 class SGPRRegression:

@@ -17,6 +17,8 @@ from typing import NamedTuple, Sequence
 import jax
 import jax.numpy as jnp
 
+from .gp import _softplus
+
 from ..operators import (
     GridInterpolatedLinearOperator,
     InterpolatedLinearOperator,
@@ -111,9 +113,6 @@ class SKIParams(NamedTuple):
     raw_outputscale: jax.Array
     raw_noise: jax.Array
 
-
-def _softplus(x):
-    return jax.nn.softplus(x) + 1e-6
 
 
 class SKIGPRegression:

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from ..operators.kernel import rbf_covar
 from ..utils.cholesky import psd_safe_cholesky
+from .gp import _softplus
 
 
 class SVGPParams(NamedTuple):
@@ -44,9 +45,6 @@ class SVGPParams(NamedTuple):
     var_mean: jax.Array  # (m,) whitened variational mean
     var_root_raw: jax.Array  # (m, m) unconstrained; lower tri -> root of S_w
 
-
-def _softplus(x):
-    return jax.nn.softplus(x) + 1e-6
 
 
 def _var_root(raw: jax.Array) -> jax.Array:

@@ -108,12 +108,21 @@ def maybe_shard_probes(arr: jax.Array) -> jax.Array:
     mesh = _current_physical_mesh()
     if mesh is None:
         return arr
+    # Under jit, GSPMD pads non-divisible dims transparently; EAGER
+    # with_sharding_constraint is an immediate reshard that requires exact
+    # divisibility — skip the offending axis there (e.g. the default
+    # 10-probes + 1-rhs = 11 columns on a probe=2 mesh) instead of crashing.
+    eager = not isinstance(arr, jax.core.Tracer)
+
+    def _ok(dim: int, axis: str) -> bool:
+        return not (eager and arr.shape[dim] % mesh.shape[axis] != 0)
+
     spec = [None] * arr.ndim
-    if "probe" in mesh.axis_names:
+    if "probe" in mesh.axis_names and _ok(-1, "probe"):
         spec[-1] = "probe"
-    if "model" in mesh.axis_names and arr.ndim >= 2:
+    if "model" in mesh.axis_names and arr.ndim >= 2 and _ok(-2, "model"):
         spec[-2] = "model"
-    if "data" in mesh.axis_names and arr.ndim >= 3:
+    if "data" in mesh.axis_names and arr.ndim >= 3 and _ok(0, "data"):
         spec[0] = "data"
     if all(s is None for s in spec):
         return arr

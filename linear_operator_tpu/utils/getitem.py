@@ -35,18 +35,43 @@ def _as_index_array(ix, dim_size: int) -> jax.Array:
 
 
 def sliced_shape(shape, *indices):
-    """Result shape of basic indexing (ints drop dims, slices resize).
+    """Result shape of indexing (ints drop dims, slices resize, index ARRAYS
+    broadcast jointly into one advanced block — torch semantics, same as the
+    dense-gather path below: the block lands at the first array's position
+    unless a slice separates two arrays, in which case it migrates to the
+    front).
 
     The jit-safe analog of reference ``_compute_getitem_size``
     (utils/getitem.py:19-80)."""
-    out = []
-    for ix, size in zip(indices, shape):
+    is_arr = [_is_array_index(ix) for ix in indices]
+    if not any(is_arr):
+        out = []
+        for ix, size in zip(indices, shape):
+            if isinstance(ix, slice):
+                out.append(len(range(*ix.indices(size))))
+        return tuple(out)
+    block = tuple(
+        np.broadcast_shapes(
+            *[jnp.shape(ix) for ix, f in zip(indices, is_arr) if f]
+        )
+    )
+    first_arr = is_arr.index(True)
+    last_arr = len(is_arr) - 1 - is_arr[::-1].index(True)
+    front = any(
+        isinstance(ix, slice) for ix in indices[first_arr + 1 : last_arr]
+    )
+    out: list[int] = []
+    placed = False
+    if front:
+        out.extend(block)
+        placed = True
+    for ix, size, f in zip(indices, shape, is_arr):
         if isinstance(ix, slice):
             out.append(len(range(*ix.indices(size))))
-        elif isinstance(ix, (int, np.integer)):
-            pass  # dim dropped
-        else:
-            out.extend(int(s) for s in jnp.shape(ix))
+        elif f and not placed:
+            out.extend(block)
+            placed = True
+        # ints and later arrays: no separate axes
     return tuple(out)
 
 
@@ -55,10 +80,36 @@ def normalize_getitem_index(op, index):
     if not isinstance(index, tuple):
         index = (index,)
 
-    # None / newaxis: strip, index, then unsqueeze at the None positions
-    # (only valid in batch positions, like the reference).
+    # Expand Ellipsis FIRST (None entries consume no operator dim, so the
+    # fill count must skip them).
+    if any(ix is Ellipsis for ix in index):
+        pos = index.index(Ellipsis)
+        if index.count(Ellipsis) > 1:
+            raise IndexError("only one Ellipsis allowed")
+        n_consuming = sum(
+            1 for ix in index if ix is not None and ix is not Ellipsis
+        )
+        fill = op.ndim - n_consuming
+        index = index[:pos] + (slice(None),) * fill + index[pos + 1 :]
+
+    # None / newaxis: strip, index, then unsqueeze at the OUTPUT positions —
+    # counting only indices that produce output dims (slices and arrays;
+    # ints drop their dim), matching numpy/torch: op[1, None] on (2,3,4,5)
+    # is (1, 3, 4, 5), not (3, 1, 4, 5).
     if any(ix is None for ix in index):
-        positions = [i for i, ix in enumerate(index) if ix is None]
+        positions = []
+        out_pos = 0
+        for ix in index:
+            if ix is None:
+                positions.append(out_pos)
+                out_pos += 1
+            elif isinstance(ix, slice):
+                out_pos += 1
+            elif _is_array_index(ix):
+                arr = jnp.asarray(ix)
+                # a 1-D bool mask converts to a 1-D index array (1 dim)
+                out_pos += 1 if arr.dtype == jnp.bool_ else arr.ndim
+            # ints: contribute no output dim
         stripped = tuple(ix for ix in index if ix is not None)
         result = normalize_getitem_index(op, stripped)
         for pos in positions:
@@ -68,18 +119,31 @@ def normalize_getitem_index(op, index):
                 result = jnp.expand_dims(result, pos)
         return result
 
-    # Expand Ellipsis.
-    if any(ix is Ellipsis for ix in index):
-        pos = index.index(Ellipsis)
-        if index.count(Ellipsis) > 1:
-            raise IndexError("only one Ellipsis allowed")
-        fill = op.ndim - (len(index) - 1)
-        index = index[:pos] + (slice(None),) * fill + index[pos + 1 :]
     if len(index) > op.ndim:
         raise IndexError(
             f"too many indices ({len(index)}) for operator of dim {op.ndim}"
         )
     index = index + (slice(None),) * (op.ndim - len(index))
+
+    # Boolean masks -> integer index arrays (numpy/torch semantics; 1-D
+    # masks only — concrete sizes required, so under jit this raises the
+    # standard ConcretizationError rather than silently gathering wrong
+    # rows as int indices).
+    def _mask_to_indices(ix, size):
+        if _is_array_index(ix):
+            arr = jnp.asarray(ix)
+            if arr.dtype == jnp.bool_:
+                if arr.ndim != 1:
+                    raise IndexError("boolean mask indices must be 1-D")
+                if arr.shape[0] != size:
+                    raise IndexError(
+                        f"boolean mask length {arr.shape[0]} does not match "
+                        f"dimension size {size}"
+                    )
+                return jnp.nonzero(arr)[0]
+        return ix
+
+    index = tuple(_mask_to_indices(ix, s) for ix, s in zip(index, op.shape))
 
     batch_indices = index[:-2]
     row_index, col_index = index[-2], index[-1]

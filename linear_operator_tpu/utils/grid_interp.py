@@ -84,13 +84,10 @@ def _maybe_shard_blocks(arrs):
     products + one psum per scan step (W^T v) and leaves W g fully local.
     No-op outside a mesh context (single-chip and CPU tests).
     """
-    try:
-        from jax._src.mesh import thread_resources
+    from ..parallel.sharding import _current_physical_mesh
 
-        mesh = thread_resources.env.physical_mesh
-        if not mesh.axis_names or "model" not in mesh.axis_names:
-            return arrs
-    except Exception:  # pragma: no cover
+    mesh = _current_physical_mesh()
+    if mesh is None or "model" not in mesh.axis_names:
         return arrs
     from jax.sharding import NamedSharding, PartitionSpec
 

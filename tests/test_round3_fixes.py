@@ -137,6 +137,78 @@ class TestCIQNotInverse:
         np.testing.assert_allclose(approx, sqrt_k @ rhs, rtol=1e-4, atol=1e-4)
 
 
+class TestGetitemBoolMask:
+    def test_1d_bool_mask_rows(self):
+        k = jax.random.normal(jax.random.PRNGKey(15), (4, 6), dtype=jnp.float64)
+        mask = jnp.array([True, False, True, False])
+        out = DenseLinearOperator(k)[mask]
+        assert out.shape == (2, 6)
+        np.testing.assert_allclose(
+            out.to_dense() if hasattr(out, "to_dense") else out,
+            np.asarray(k)[np.asarray(mask)],
+            rtol=1e-12,
+        )
+
+    def test_bool_mask_wrong_length_raises(self):
+        import pytest
+
+        k = jax.random.normal(jax.random.PRNGKey(16), (4, 6), dtype=jnp.float64)
+        with pytest.raises(IndexError):
+            DenseLinearOperator(k)[jnp.array([True, False])]
+
+
+class TestGetitemNoneAfterInt:
+    def test_none_lands_at_output_position(self):
+        """op[1, None] on (2,3,4,5): the new axis precedes the surviving
+        dims (numpy/torch semantics), not the raw index-tuple position."""
+        t = jax.random.normal(jax.random.PRNGKey(17), (2, 3, 4, 5), dtype=jnp.float64)
+        out = DenseLinearOperator(t)[1, None]
+        expected = np.asarray(t)[1, None]
+        assert out.shape == expected.shape == (1, 3, 4, 5)
+        np.testing.assert_allclose(out.to_dense(), expected, rtol=1e-12)
+
+    def test_none_after_slice_and_int(self):
+        t = jax.random.normal(jax.random.PRNGKey(18), (2, 3, 4, 5), dtype=jnp.float64)
+        out = DenseLinearOperator(t)[:, 1, None]
+        expected = np.asarray(t)[:, 1, None]
+        assert out.shape == expected.shape
+        np.testing.assert_allclose(out.to_dense(), expected, rtol=1e-12)
+
+
+class TestZeroGetitemJointBroadcast:
+    def test_zero_matches_dense_shape(self):
+        from linear_operator_tpu.operators import ZeroLinearOperator
+
+        z = ZeroLinearOperator(shape_=(3, 3, 4, 5))
+        d = DenseLinearOperator(jnp.zeros((3, 3, 4, 5)))
+        ii = jnp.array([0, 1])
+        out_z = z[ii, ii, :, :]
+        out_d = d[ii, ii, :, :]
+        assert out_z.shape == out_d.shape == (2, 4, 5)
+
+
+class TestEagerProbeMeshGuard:
+    def test_eager_inv_quad_logdet_under_probe_mesh(self):
+        """Eager with_sharding_constraint requires exact divisibility; the
+        default 10-probe + 1-rhs stack (11 columns) on a probe=2 mesh must
+        skip the probe constraint instead of crashing (jit is unaffected —
+        GSPMD pads there)."""
+        from linear_operator_tpu.functions import inv_quad_logdet
+        from linear_operator_tpu.operators.kernel import rbf_kernel_operator
+        from linear_operator_tpu.parallel import make_mesh
+
+        mesh = make_mesh(8, data=2, model=2, probe=2)
+        n = 64
+        x = jax.random.normal(jax.random.PRNGKey(19), (n, 2), dtype=jnp.float64)
+        op = rbf_kernel_operator(x, lengthscale=1.0, outputscale=1.0).add_diagonal(
+            jnp.asarray(0.5, dtype=jnp.float64)
+        )
+        y = jax.random.normal(jax.random.PRNGKey(20), (n, 1), dtype=jnp.float64)
+        with settings.max_cholesky_size(0), mesh:
+            iq, ld = inv_quad_logdet(op, y, logdet=True, key=jax.random.PRNGKey(0))
+        assert bool(jnp.isfinite(iq)) and bool(jnp.isfinite(ld))
+
+
 class TestSqrtInvMatmulKey:
     def test_key_threads_through_public_api(self):
         """Stochastic-API convention: sqrt_inv_matmul takes key= at every
