@@ -34,9 +34,12 @@ def _emit(metric: str, value: float, unit: str) -> None:
             base_all = json.load(f)
     except FileNotFoundError:
         base_all = {}
-    if not isinstance(base_all, dict) or "value" in base_all:
-        # round-1 file held only the north-star value
-        base_all = {"gp_mll_n100k_cg_slq": base_all.get("value", value)} if base_all else {}
+    if not isinstance(base_all, dict):
+        # round-1 file held only the bare north-star number
+        base_all = {"gp_mll_n100k_cg_slq": float(base_all)}
+    elif "value" in base_all:
+        # round-1 file held one {"value": ...} record for the north star
+        base_all = {"gp_mll_n100k_cg_slq": base_all["value"]}
     base = base_all.setdefault(metric, value)
     with open(_BASELINE_PATH, "w") as f:
         json.dump(base_all, f)
@@ -304,10 +307,13 @@ def bench_sharded(n=8192) -> None:
     # n >= 8192: the mat-vec (not CG epilogue overhead) dominates, so a
     # collectives/layout regression in the row-sharded kernel mat-vec would
     # actually move this number (VERDICT r2 item 5; the old n=2048 shape was
-    # CG-overhead-bound and insensitive).
+    # CG-overhead-bound and insensitive).  With >1 device, put 2 on the
+    # MODEL axis so the matrix dim is actually row-sharded — a model=1 mesh
+    # never exercises the sharded mat-vec this config exists to watch.
     from linear_operator_tpu.parallel import make_mesh, mll_throughput
 
-    mesh = make_mesh(len(jax.devices()), model=1)
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev, model=2 if n_dev % 2 == 0 else 1)
     solves_per_s = mll_throughput(mesh, n=n)
     _emit("sharded_mll_step", float(solves_per_s), "solves/s")
 

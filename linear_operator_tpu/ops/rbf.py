@@ -81,7 +81,15 @@ def _tile_sq_dist(x1, x2, d: int):
         return d2
     sq1 = jnp.sum(x1 * x1, axis=-1, keepdims=True)
     sq2 = jnp.sum(x2 * x2, axis=-1, keepdims=True)
-    inner = jnp.dot(x1, x2.T, preferred_element_type=jnp.float32)
+    # HIGHEST: a DEFAULT (single-pass bf16) inner product rounds distances
+    # ~1e-3, the exact footgun _sq_dist exists to avoid (TPU-numerics note 1,
+    # BASELINE.md) — and bf16-rounded K makes K+D indefinite at large n.
+    inner = jnp.dot(
+        x1,
+        x2.T,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
     return jnp.maximum(sq1 + sq2.T - 2.0 * inner, 0.0)
 
 
@@ -405,9 +413,15 @@ def _make_sym_matvec_kernel(d: int, tile: int, mode: str = "acc3", covar: str = 
 _SYM_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
 
 
-def sym_matvec_supported(n: int, t: int, batch_ndim: int) -> bool:
+def sym_matvec_supported(n: int, t: int, batch_ndim: int, tile: int = 1024) -> bool:
+    # The accumulator is (t_pad, npad) with npad = round_up(n, TILE) — the
+    # gate must budget with the same tile the mat-vec will run with, or it
+    # under-accounts by up to t_pad * (tile - 1) * 4 bytes near the boundary.
     t_pad = _round_up(max(t, 1), 8)
-    return batch_ndim == 0 and t_pad * _round_up(n, 512) * 4 <= _SYM_VMEM_BUDGET_BYTES
+    return (
+        batch_ndim == 0
+        and t_pad * _round_up(n, tile) * 4 <= _SYM_VMEM_BUDGET_BYTES
+    )
 
 
 def _pallas_matvec_sym(
@@ -422,17 +436,13 @@ def _pallas_matvec_sym(
     xp = _pad_axis(_pad_axis(x, 0, npad), 1, dp)
     vt = _pad_axis(_pad_axis(v.T, 0, tp), 1, npad)  # (tp, npad)
 
-    import numpy as np
-
-    ii, jj = np.triu_indices(nblk)  # row-major: i outer, j inner ascending
-    imap = jnp.asarray(ii, jnp.int32)
-    jmap = jnp.asarray(jj, jnp.int32)
-
     if pltpu is None or _use_interpret():
         # CPU/test fallback: same math, dense (the kernel needs real VMEM
         # semantics; the interpreter supports it but at no speed benefit).
         k = TILE_COVARS[covar][0](_tile_sq_dist(x, x, d))
         return jnp.dot(k, v, precision=jax.lax.Precision.HIGHEST)
+
+    imap, jmap = _triangle_maps(nblk)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -43,7 +43,10 @@ class BaseTestCase(unittest.TestCase):
             actual.shape, expected.shape,
             msg or f"shape mismatch: {actual.shape} vs {expected.shape}",
         )
-        if np.allclose(actual, expected, rtol=rtol, atol=atol, equal_nan=True):
+        # equal_nan=False (like the torch reference): NaN == NaN passing
+        # would let the same broken math on the lazy AND dense sides count
+        # as agreement across the whole golden-model harness.
+        if np.allclose(actual, expected, rtol=rtol, atol=atol):
             return
         abs_diff = np.abs(actual - expected)
         tol = atol + rtol * np.abs(expected)

@@ -793,6 +793,14 @@ class LinearOperatorTestCase(RectangularLinearOperatorTestCase):
         self.assertAllClose(
             sqrt_inv, lhs @ inv_sqrt_dense @ rhs, **self.tolerances["sqrt_inv_matmul"]
         )
+        # the second output is the row-wise lhs K^{-1} lhs^T quadratic form
+        # (reference _linear_operator.py:2422-2466 checks both outputs)
+        inv_dense = jnp.linalg.inv(dense)
+        self.assertAllClose(
+            inv_quad,
+            jnp.einsum("...ij,...jk,...ik->...i", lhs, inv_dense, lhs),
+            **self.tolerances["sqrt_inv_matmul"],
+        )
 
     def test_prod_lazy(self):
         """Root-based divide-and-conquer prod (reference ``_prod_batch``,
