@@ -92,29 +92,73 @@ def normalize_getitem_index(op, index):
         fill = op.ndim - n_consuming
         index = index[:pos] + (slice(None),) * fill + index[pos + 1 :]
 
-    # None / newaxis: strip, index, then unsqueeze at the OUTPUT positions —
-    # counting only indices that produce output dims (slices and arrays;
-    # ints drop their dim), matching numpy/torch: op[1, None] on (2,3,4,5)
-    # is (1, 3, 4, 5), not (3, 1, 4, 5).
+    # None / newaxis: strip, index, then unsqueeze at the OUTPUT positions.
+    # Torch placement semantics (the reference's contract): ints drop their
+    # dim; index ARRAYS form one joint advanced block that sits at the first
+    # array's position — unless any basic index (slice OR None) separates
+    # two arrays, in which case the block migrates to the FRONT, BEFORE all
+    # basic dims including the None axes.  Stripping the Nones can therefore
+    # change the placement (None as the sole separator): fix up by moving
+    # the block axes to the front afterwards.
     if any(ix is None for ix in index):
+        entries = list(index)
+
+        def _arr_ndim(e) -> int:
+            a = jnp.asarray(e)
+            return 1 if a.dtype == jnp.bool_ else a.ndim
+
+        arr_pos = [i for i, e in enumerate(entries) if _is_array_index(e)]
+        block_ndim = max((_arr_ndim(entries[i]) for i in arr_pos), default=0)
+        front = len(arr_pos) >= 2 and any(
+            isinstance(entries[i], slice) or entries[i] is None
+            for i in range(arr_pos[0] + 1, arr_pos[-1])
+        )
+        stripped = [e for e in entries if e is not None]
+        sp = [i for i, e in enumerate(stripped) if _is_array_index(e)]
+        stripped_front = len(sp) >= 2 and any(
+            isinstance(stripped[i], slice) for i in range(sp[0] + 1, sp[-1])
+        )
+        result = normalize_getitem_index(op, tuple(stripped))
+
+        if front and not stripped_front:
+            # None was the sole separator: the stripped computation placed
+            # the block at the first array's position; torch wants it front.
+            pre = sum(1 for e in stripped[: sp[0]] if isinstance(e, slice))
+            if pre > 0:
+                if not isinstance(result, jax.Array):
+                    raise IndexError(
+                        "newaxis separating advanced indices is not "
+                        "supported for lazy (slice-matrix-dim) results"
+                    )
+                result = jnp.moveaxis(
+                    result,
+                    tuple(range(pre, pre + block_ndim)),
+                    tuple(range(block_ndim)),
+                )
+
         positions = []
-        out_pos = 0
-        for ix in index:
-            if ix is None:
+        out_pos = block_ndim if (arr_pos and front) else 0
+        seen_block = False
+        for e in entries:
+            if e is None:
                 positions.append(out_pos)
                 out_pos += 1
-            elif isinstance(ix, slice):
+            elif isinstance(e, slice):
                 out_pos += 1
-            elif _is_array_index(ix):
-                arr = jnp.asarray(ix)
-                # a 1-D bool mask converts to a 1-D index array (1 dim)
-                out_pos += 1 if arr.dtype == jnp.bool_ else arr.ndim
-            # ints: contribute no output dim
-        stripped = tuple(ix for ix in index if ix is not None)
-        result = normalize_getitem_index(op, stripped)
+            elif _is_array_index(e) and not front and not seen_block:
+                out_pos += block_ndim
+                seen_block = True
+            # ints (and later arrays of the joint block): no output dim
         for pos in positions:
             if hasattr(result, "unsqueeze"):
-                result = result.unsqueeze(pos)
+                if pos > result.ndim - 2:
+                    # a new axis inside/after the matrix dims: the result is
+                    # no longer a (batch of) matrix — densify (torch allows
+                    # None anywhere; the lazy form cannot represent it)
+                    result = result.to_dense()
+                    result = jnp.expand_dims(result, pos)
+                else:
+                    result = result.unsqueeze(pos)
             else:
                 result = jnp.expand_dims(result, pos)
         return result

@@ -54,12 +54,22 @@ def _rand_array(rng, size):
     return jnp.asarray(rng.integers(-size, size, (k,)), jnp.int32)
 
 
+def _rand_bool_mask(rng, size):
+    # ensure at least one True so shapes stay non-degenerate most trials
+    m = rng.integers(0, 2, (size,)).astype(bool)
+    if not m.any():
+        m[int(rng.integers(0, size))] = True
+    return jnp.asarray(m)
+
+
 def _rand_index(rng, size, kinds=("slice", "int", "array")):
     kind = rng.choice(kinds)
     if kind == "slice":
         return _rand_slice(rng, size)
     if kind == "int":
         return _rand_int(rng, size)
+    if kind == "bool":
+        return _rand_bool_mask(rng, size)
     return _rand_array(rng, size)
 
 
@@ -177,6 +187,52 @@ class TestGetitemFuzz(BaseTestCase):
             else:  # scalar-array + array
                 t = (rows, jnp.asarray(int(rng.integers(0, n)), jnp.int32))
             self._check(op, dense, t, msg)
+
+    def test_bool_masks_all_dims(self):
+        """1-D boolean masks on any dim (converted to integer indices,
+        torch/numpy semantics) — the class of bug the round-3 fix closed."""
+        rng = np.random.default_rng(606)
+        for trial in range(40):
+            n = int(rng.integers(3, 7))
+            if trial % 2 == 0:
+                op = _make_op(rng, n)
+                dims = (n, n)
+                t = tuple(
+                    _rand_index(rng, s, kinds=("slice", "bool", "array", "int"))
+                    for s in dims
+                )
+            else:
+                batch = (3,)
+                op = _make_op(rng, n, batch)
+                t = (
+                    _rand_index(rng, 3, kinds=("slice", "bool")),
+                    _rand_index(rng, n, kinds=("slice", "bool", "int")),
+                    _rand_index(rng, n, kinds=("slice", "bool", "array")),
+                )
+            dense = op.to_dense()
+            msg = f"trial {trial}: {type(op).__name__} bool-mask"
+            self._check(op, dense, t, msg)
+
+    def test_newaxis_positions_including_after_int(self):
+        """None/newaxis at every batch position, including AFTER integer
+        indices (the output-position bug the round-3 fix closed)."""
+        rng = np.random.default_rng(707)
+        for trial in range(40):
+            n = int(rng.integers(3, 6))
+            batch = (2, 3)
+            op = _make_op(rng, n, batch)
+            dense = op.to_dense()
+            msg = f"trial {trial}: {type(op).__name__} newaxis"
+            idx = [
+                _rand_index(rng, b, kinds=("slice", "int", "array")) for b in batch
+            ] + [_rand_index(rng, n), _rand_index(rng, n)]
+            # insert None ANYWHERE (incl. between advanced indices — block
+            # front-migration — and inside/after the matrix dims)
+            pos = int(rng.integers(0, len(idx) + 1))
+            idx.insert(pos, None)
+            if trial % 3 == 0:  # occasionally two Nones
+                idx.insert(int(rng.integers(0, len(idx) + 1)), None)
+            self._check(op, dense, tuple(idx), msg)
 
     def test_toeplitz_lazy_slices_stay_lazy_and_correct(self):
         rng = np.random.default_rng(505)
