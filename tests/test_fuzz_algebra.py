@@ -364,6 +364,74 @@ class TestFuzzBatched(BaseTestCase):
             )
 
 
+def _sub_batch(rng, batch):
+    """A random broadcast-compatible variant of ``batch``: each dim kept or
+    set to 1, leading dims optionally dropped."""
+    keep_from = int(rng.integers(0, len(batch) + 1))
+    out = tuple(
+        b if rng.random() < 0.6 else 1 for b in batch[keep_from:]
+    )
+    return out
+
+
+class TestFuzzMixedBatchBroadcast(BaseTestCase):
+    """Heterogeneous leaf batch shapes inside one tree (each leaf a random
+    broadcast-compatible sub-shape of the target batch) plus an EXTRA
+    leading rhs batch dim — the reference broadcasts everywhere
+    (torch.linalg semantics); round-3 fixed two operators that did not."""
+
+    def test_mixed_leaf_batches_and_extra_rhs_dim(self):
+        rng = np.random.default_rng(17)
+        for trial in range(15):
+            n = int(rng.choice([4, 6]))
+            batch = (2, 3) if trial % 2 == 0 else (3,)
+
+            def leaf(rng=rng, n=n, batch=batch):
+                return _psd_leaf_batched(rng, self.key, n, _sub_batch(rng, batch) or (1,))
+
+            # sum of 2-3 leaves with mismatched-but-broadcastable batches,
+            # optionally wrapped in add_diagonal with its own sub-batch
+            op = leaf()
+            for _ in range(int(rng.integers(1, 3))):
+                op = op + leaf()
+            if rng.random() < 0.5:
+                db = _sub_batch(rng, batch)
+                op = op.add_diagonal(
+                    jnp.asarray(rng.uniform(0.2, 1.0, (*db, n)), DTYPE)
+                )
+            dense = op.to_dense()
+            bshape = op.batch_shape
+            np.broadcast_shapes(bshape, batch)
+            msg = f"trial {trial}: {type(op).__name__} batch={bshape}"
+
+            # extra leading rhs dim on top of the operator's own batch
+            rhs = jnp.asarray(rng.standard_normal((2, *bshape, n, 2)), DTYPE)
+            self.assertAllClose(op @ rhs, dense @ rhs, rtol=1e-9, atol=1e-9, msg=msg)
+            with settings.max_cholesky_size(1000):
+                x = op.solve(rhs)
+                iq, ld = op.inv_quad_logdet(rhs, logdet=True)
+            self.assertAllClose(
+                x, jnp.linalg.solve(dense, rhs), rtol=1e-7, atol=1e-8, msg=msg
+            )
+            self.assertAllClose(
+                ld, jnp.linalg.slogdet(dense)[1], rtol=1e-8, atol=1e-8, msg=msg
+            )
+            self.assertAllClose(
+                iq,
+                jnp.sum(rhs * jnp.linalg.solve(dense, rhs), axis=(-2, -1)),
+                rtol=1e-7,
+                atol=1e-8,
+                msg=msg,
+            )
+            # iterative path with the same broadcast rhs
+            with settings.max_cholesky_size(0), settings.cg_tolerance(1e-12), \
+                 settings.max_cg_iterations(400):
+                x_cg = op.solve(rhs)
+            self.assertAllClose(
+                x_cg, jnp.linalg.solve(dense, rhs), rtol=1e-6, atol=1e-7, msg=msg
+            )
+
+
 class TestFuzzGradients(BaseTestCase):
     """Gradients of solve/inv_quad_logdet through random PSD trees: the
     custom VJPs (functions/_solve.py, _inv_quad_logdet.py) must match
