@@ -20,6 +20,7 @@ jax.config.update("jax_platforms", "cpu")
 
 def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    mode = sys.argv[4] if len(sys.argv) > 4 else "2axis"
 
     from linear_operator_tpu.parallel import initialize_distributed
 
@@ -36,12 +37,20 @@ def main():
 
     assert len(jax.devices()) == 4 * nproc, "cluster did not form"
 
-    # (data, model) mesh spanning BOTH processes: the model-axis psum inside
-    # CG crosses the process boundary — the communication surface a real
-    # multi-host DCN deployment exercises.
-    mesh = Mesh(
-        np.asarray(jax.devices()).reshape(nproc * 2, 2), axis_names=("data", "model")
-    )
+    # A mesh spanning ALL processes: the model-axis psum inside CG crosses
+    # the process boundary — the communication surface a real multi-host DCN
+    # deployment exercises.  "3axis" adds a probe axis (Hutchinson probes
+    # sharded across processes via maybe_shard_probes' ambient-mesh hook).
+    if mode == "3axis":
+        mesh = Mesh(
+            np.asarray(jax.devices()).reshape(nproc, 2, 2),
+            axis_names=("data", "model", "probe"),
+        )
+    else:
+        mesh = Mesh(
+            np.asarray(jax.devices()).reshape(nproc * 2, 2),
+            axis_names=("data", "model"),
+        )
     B, n, d = 8, 32, 2
     rng = np.random.default_rng(0)
     x_np = rng.standard_normal((B, n, d)).astype(np.float32)
