@@ -195,14 +195,38 @@ class KroneckerProductLinearOperator(LinearOperator):
 
     def eigh(self):
         """Factor-wise symmetric eigendecomposition (reference :286-360):
-        evals = kron of factor evals, evecs = kron of factor evecs."""
-        evals_list, evecs_list = [], []
-        for f in self.operators:
-            ev, evec = f.eigh()
-            evals_list.append(ev)
-            evecs_list.append(evec)
-        evals = _kron_vector(evals_list)
-        return evals, KroneckerProductLinearOperator(tuple(evecs_list))
+        evals = kron of factor evals, evecs = kron of factor evecs.
+
+        Same-shape factors on the generic dense path are STACKED into one
+        batched eigh: TPU eigh (QDWH) is iteration-latency bound, so k
+        sequential m x m calls cost ~k x one batched (k, m, m) call — the
+        two 180^2 factor eighs dominate the whole Kronecker-Toeplitz
+        solve+logdet benchmark (scripts/profile_kron.py)."""
+        from collections import defaultdict
+
+        from ..utils.eigh import eigh_safe
+        from .dense import DenseLinearOperator
+        from ._linear_operator import LinearOperator as _LO
+
+        results: list = [None] * len(self.operators)
+        groups = defaultdict(list)
+        for i, f in enumerate(self.operators):
+            if type(f).eigh is _LO.eigh:  # generic dense path only
+                groups[f.shape].append(i)
+        for idxs in groups.values():
+            if len(idxs) < 2:
+                continue
+            stacked = jnp.stack([self.operators[i].to_dense() for i in idxs])
+            ev, evec = eigh_safe(stacked)
+            for k, i in enumerate(idxs):
+                results[i] = (ev[k], DenseLinearOperator(evec[k]))
+        for i, f in enumerate(self.operators):
+            if results[i] is None:
+                results[i] = f.eigh()
+        evals = _kron_vector([r[0] for r in results])
+        return evals, KroneckerProductLinearOperator(
+            tuple(r[1] for r in results)
+        )
 
     def eigvalsh(self) -> jax.Array:
         return jnp.sort(
