@@ -34,12 +34,14 @@ def _emit(metric: str, value: float, unit: str) -> None:
             base_all = json.load(f)
     except FileNotFoundError:
         base_all = {}
-    if not isinstance(base_all, dict):
+    if isinstance(base_all, (int, float)) and not isinstance(base_all, bool):
         # round-1 file held only the bare north-star number
         base_all = {"gp_mll_n100k_cg_slq": float(base_all)}
-    elif "value" in base_all:
+    elif isinstance(base_all, dict) and "value" in base_all:
         # round-1 file held one {"value": ...} record for the north star
         base_all = {"gp_mll_n100k_cg_slq": base_all["value"]}
+    elif not isinstance(base_all, dict):
+        base_all = {}  # null / corrupt file: start fresh
     base = base_all.setdefault(metric, value)
     with open(_BASELINE_PATH, "w") as f:
         json.dump(base_all, f)

@@ -197,9 +197,29 @@ def normalize_getitem_index(op, index):
     col_simple = isinstance(col_index, slice)
 
     if row_simple and col_simple:
-        # Stay lazy.  Squeeze int batch dims afterwards like numpy.
-        result = op._getitem(row_index, col_index, *batch_indices)
-        return result
+        # Stay lazy.  The per-operator `_getitem` implementations index with
+        # jnp (NUMPY placement: ints count as 0-d advanced indices), while
+        # the declared contract is TORCH placement (ints are basic).  The
+        # two diverge exactly when batch indices mix ints with arrays — so
+        # apply the ints FIRST (unambiguous in both semantics), then the
+        # remaining slice/array pattern, where numpy == torch.
+        if any(isinstance(b, (int, np.integer)) for b in batch_indices) and any(
+            _is_array_index(b) for b in batch_indices
+        ):
+            ints_first = tuple(
+                b if isinstance(b, (int, np.integer)) else slice(None)
+                for b in batch_indices
+            )
+            reduced = op._getitem(slice(None), slice(None), *ints_first)
+            rest = tuple(
+                b
+                for b in batch_indices
+                if not isinstance(b, (int, np.integer))
+            )
+            return normalize_getitem_index(
+                reduced, (*rest, row_index, col_index)
+            )
+        return op._getitem(row_index, col_index, *batch_indices)
 
     # At least one matrix dim is killed or fancy-indexed.
     shape = op.shape

@@ -151,9 +151,11 @@ class TestGetitemFuzz(BaseTestCase):
 
     def test_batched_all_dims(self):
         rng = np.random.default_rng(303)
-        for trial in range(60):
+        for trial in range(90):
             n = int(rng.integers(3, 6))
-            batch = (2, 3) if trial % 2 == 0 else (4,)
+            # 3-batch-dim cases reach the int/slice/array placement corner
+            # where numpy (ints-as-advanced) and torch (ints-basic) diverge
+            batch = ((2, 3), (4,), (2, 3, 4))[trial % 3]
             op = _make_op(rng, n, batch)
             dense = op.to_dense()
             msg = f"trial {trial}: {type(op).__name__} batch={batch} n={n}"
