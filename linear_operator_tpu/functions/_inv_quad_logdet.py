@@ -113,11 +113,12 @@ def inv_quad_logdet(
 
     iq, ld_est = _stochastic_iqld(op, rhs, probes, precond_probes, norms)
     if logdet:
+        # Under skip_logdet_forward the SLQ term's forward value is zero (the
+        # quadrature is never computed — see _stochastic_forward) but its
+        # gradient is preserved, and the preconditioner logdet is still
+        # returned, matching the reference (settings.py:506-531;
+        # _linear_operator.py:1799-1800 adds logdet_p unconditionally).
         ld = ld_est + logdet_p
-        if settings.skip_logdet_forward.on():
-            # zero forward value, gradient preserved (reference
-            # settings.py:506-531)
-            ld = ld - jax.lax.stop_gradient(ld)
     else:
         ld = jnp.zeros(op.batch_shape, dtype=op.dtype)
     return _finish(op, iq, ld, rhs, reduce_inv_quad)
@@ -187,7 +188,15 @@ def _stochastic_forward(op, rhs, probes):
     result = op._solve_via_cg(stacked, preconditioner=closure, n_tridiag=m)
     solves = result.solution
 
-    if m > 0:
+    if m > 0 and settings.skip_logdet_forward.on():
+        # Reference :140-148 guards the whole SLQ forward (including the NaN
+        # probe) behind skip_logdet_forward.off(): with the flag on the
+        # quadrature is never computed and the forward SLQ term is zero.  The
+        # custom VJP below still produces the unbiased logdet gradient from
+        # the probe solves, so SGD on the MLL is unaffected.
+        ld = jnp.zeros(op.batch_shape, dtype=op.dtype)
+        probe_solves = solves[..., :m]
+    elif m > 0:
         # NaN-probe propagation (reference functions/_inv_quad_logdet.py:
         # 141-142): a NaN anywhere in the tridiagonals means the solve
         # failed — return NaN logdet rather than quadrature garbage.

@@ -558,16 +558,20 @@ class LinearOperator:
         return self.add_diagonal(jnp.asarray(jitter_val, dtype=self.dtype))
 
     def add_low_rank(
-        self, low_rank_mat: jax.Array, generate_roots: bool = False
+        self, low_rank_mat: jax.Array, generate_roots: bool = True
     ) -> "LinearOperator":
         """K + V V^T (reference ``add_low_rank``, :1019-1142, Stanton et al.
         2021).
 
-        With ``generate_roots`` (the reference's cache-seeding behavior,
-        :1139-1140) and a structurally-rooted K = R R^T, the result is
-        returned AS a RootLinearOperator with root [R | V] — the root
+        With ``generate_roots`` (the reference default) and a
+        structurally-rooted K = R R^T — the functional analog of the
+        reference's "has cached roots" gate (:1079-1080) — the result is
+        returned AS a RootLinearOperator with root [R | V]: the root
         "update" is exact column concatenation, so downstream
-        root/solve/logdet reuse it for free.  Otherwise a lazy sum.
+        root/solve/logdet reuse it for free.  When K carries no root the
+        result is a lazy sum and NO root is speculatively computed
+        (reference regression: roots are only updated, never created here —
+        test_dense_linear_operator.py::test_no_root_computation_when_no_cached_roots).
         """
         from .root import RootLinearOperator
         from .dense import DenseLinearOperator
@@ -582,10 +586,8 @@ class LinearOperator:
             if v.ndim == 1:
                 v = v[:, None]
             v_op = DenseLinearOperator(v)
-        if generate_roots:
-            root = self._root_structure()
-            if root is None:
-                root = self.root_decomposition().root
+        root = self._carried_root() if generate_roots else None
+        if root is not None:
             joined = jnp.concatenate([root.to_dense(), v_op.to_dense()], axis=-1)
             return RootLinearOperator(DenseLinearOperator(joined))
         return SumLinearOperator((self, RootLinearOperator(v_op)))
@@ -602,15 +604,17 @@ class LinearOperator:
             K' = [[K,   B],
                   [B^T, C]]   with B = cross_mat (n, m), C = new_mat (m, m).
 
-        With ``generate_roots`` the result carries an (approximately) exact
-        block-triangular root
+        With ``generate_roots`` AND a structurally-rooted K (the functional
+        analog of the reference's "has cached roots" gate, :1265-1272) the
+        result carries an (approximately) exact block-triangular root
 
             L' = [[R,         0],
                   [B^T R^{-T}, S]],   S S^T = C - B^T K^{-1} B  (Schur),
 
         (the reference's cache seeding, :1300-1306) so posterior updates
         after adding points cost O(n m) instead of a fresh factorization.
-        Without it, a lazy Cat-of-Cat block operator is returned.
+        Otherwise a lazy Cat-of-Cat block operator is returned — roots are
+        only updated here, never speculatively created.
         """
         from .cat import CatLinearOperator
         from .dense import DenseLinearOperator
@@ -619,7 +623,8 @@ class LinearOperator:
 
         B = jnp.asarray(cross_mat, dtype=self.dtype)
         C = jnp.asarray(new_mat, dtype=self.dtype)
-        if not generate_roots:
+        root_op = self._carried_root() if generate_roots else None
+        if root_op is None:
             top = CatLinearOperator(
                 (self, DenseLinearOperator(B)), cat_dim=-1
             )
@@ -632,9 +637,6 @@ class LinearOperator:
             )
             return CatLinearOperator((top, bottom), cat_dim=-2)
 
-        root_op = self._root_structure()
-        if root_op is None:
-            root_op = self.root_decomposition().root
         R = root_op.to_dense()  # (*b, n, k)
         n, k = R.shape[-2], R.shape[-1]
         m = C.shape[-1]
@@ -709,6 +711,26 @@ class LinearOperator:
                 factor = factor._transpose()
             return CholLinearOperator(factor)
         return factor
+
+    def _carried_root(self) -> "LinearOperator | None":
+        """The root this operator CARRIES as its own representation (Root /
+        LowRankRoot / Chol — i.e. the factor is already data), or None.
+
+        This is the functional analog of the reference's "has cached roots"
+        gate (_linear_operator.py:1079-1080, 1265-1272): ``add_low_rank`` /
+        ``cat_rows`` update a root that already exists but never compute one
+        — a merely *computable* structural root (Kronecker factor roots, a
+        Diag's sqrt) does not count, both because the reference would not
+        have it cached and because materializing it would destroy laziness
+        (e.g. K + RootLinearOperator(Toeplitz) must keep the O(n) column
+        representation).
+        """
+        from .chol import CholLinearOperator
+        from .root import RootLinearOperator
+
+        if isinstance(self, (RootLinearOperator, CholLinearOperator)):
+            return self._root_structure()
+        return None
 
     def solve_triangular(self, rhs: jax.Array, *, upper: bool, left: bool = True):
         """Only defined for triangular operators — the base class cannot

@@ -35,6 +35,19 @@ class BlockLinearOperator(LinearOperator):
 class BlockDiagLinearOperator(BlockLinearOperator):
     base: LinearOperator  # (*b, k, n, m)
 
+    def __new__(cls, base=None):
+        # Constructor shortcut (reference block_diag_linear_operator.py:20-35,
+        # _MetaBlockDiagLinearOperator): a block-diagonal of diagonal blocks
+        # IS a diagonal operator — return one directly so downstream dispatch
+        # gets the O(N) closed forms.  Pytree unflatten and ``_pytree.replace``
+        # use ``object.__new__`` and never hit this path.
+        from .diag import DiagLinearOperator
+
+        if cls is BlockDiagLinearOperator and isinstance(base, DiagLinearOperator):
+            diag = base._diagonal()  # (*b, k, n)
+            return DiagLinearOperator(diag.reshape(*diag.shape[:-2], -1))
+        return object.__new__(cls)
+
     @property
     def _symmetric_hint(self) -> bool:
         return self.base._symmetric_hint

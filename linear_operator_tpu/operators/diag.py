@@ -92,6 +92,33 @@ class DiagLinearOperator(LinearOperator):
     def sqrt(self) -> "DiagLinearOperator":
         return DiagLinearOperator(jnp.sqrt(self.diag))
 
+    def solve_triangular(
+        self,
+        rhs: jax.Array,
+        *,
+        upper: bool,
+        left: bool = True,
+        unitriangular: bool = False,
+    ) -> jax.Array:
+        """A diagonal matrix is both upper and lower triangular, so ``upper``
+        is irrelevant (reference diag_linear_operator.py:242-251).  With
+        ``unitriangular`` the diagonal is treated as ones; like the
+        reference, a concretely non-unit diagonal is rejected (the check is
+        skipped for tracers — it is data-dependent)."""
+        if unitriangular:
+            if not isinstance(self.diag, jax.core.Tracer) and not bool(
+                jnp.all(self._diagonal() == 1)
+            ):
+                raise RuntimeError(
+                    "Received `unitriangular=True` but `LinearOperator` does "
+                    "not have a unit diagonal."
+                )
+            return rhs
+        d = self._diagonal()
+        if rhs.ndim == 1:
+            return rhs / d
+        return rhs / (d[..., :, None] if left else d[..., None, :])
+
     # -- composition special cases (reference :203-224) -------------------
 
     def matmul(self, other):
@@ -106,6 +133,13 @@ class DiagLinearOperator(LinearOperator):
             return TriangularLinearOperator(
                 self.matmul(other._tensor), upper=other.upper
             )
+        from .block import BlockDiagLinearOperator
+
+        if isinstance(other, BlockDiagLinearOperator):
+            # D @ blockdiag(B_1..B_k) = blockdiag(D_1 B_1, .., D_k B_k)
+            # (reference diag_linear_operator.py:217-223).
+            diag = self._diagonal().reshape(*other.base.shape[:-1])
+            return BlockDiagLinearOperator(DiagLinearOperator(diag).matmul(other.base))
         return super().matmul(other)
 
     def __add__(self, other):

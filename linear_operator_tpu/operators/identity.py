@@ -86,6 +86,40 @@ class IdentityLinearOperator(LinearOperator):
     def sqrt(self) -> "IdentityLinearOperator":
         return self
 
+    def abs(self) -> "IdentityLinearOperator":
+        return self
+
+    def exp(self) -> LinearOperator:
+        """Elementwise exp of the diagonal: e * I.  Deliberate deviation from
+        the reference (identity_linear_operator.py:175-178 returns ``self``),
+        which is inconsistent with ``DiagLinearOperator.exp`` — exp(1) = e."""
+        from .diag import ConstantDiagLinearOperator
+
+        c = jnp.full((*self.batch_shape_, 1), jnp.e, dtype=self.dtype)
+        return ConstantDiagLinearOperator(c, diag_shape=self.diag_shape)
+
+    def log(self) -> LinearOperator:
+        """log(1) = 0 on the diagonal: the zero operator (reference
+        identity_linear_operator.py:210-215)."""
+        from .zero import ZeroLinearOperator
+
+        return ZeroLinearOperator(
+            (*self.batch_shape_, self.diag_shape, self.diag_shape),
+            dtype_=self.dtype_,
+        )
+
+    def solve_triangular(
+        self,
+        rhs: jax.Array,
+        *,
+        upper: bool,
+        left: bool = True,
+        unitriangular: bool = False,
+    ) -> jax.Array:
+        """I is triangular either way; the solve is a no-op (reference
+        identity_linear_operator.py:243-251)."""
+        return rhs
+
     def matmul(self, other):
         if isinstance(other, LinearOperator):
             return other

@@ -363,6 +363,24 @@ class RectangularLinearOperatorTestCase(BaseTestCase):
             res @ v, dense[..., idx, :] @ v, **self.tolerances["matmul"]
         )
 
+    def test_pickle(self):
+        """Pickle round-trip (reference linear_operator_test_case.py:973-981)
+        — the reference's only persistence mechanism; operators here are
+        frozen pytree dataclasses, so serialization must be loss-free."""
+        import pickle
+
+        op = self.create_linear_op()
+        unpickled = pickle.loads(pickle.dumps(op))
+        self.assertIsInstance(unpickled, type(op))
+        self.assertAllClose(
+            unpickled.to_dense(), op.to_dense(), rtol=1e-14, atol=1e-14
+        )
+        # pytree structure survives too (jit caching relies on the treedef)
+        self.assertEqual(
+            jax.tree_util.tree_structure(op),
+            jax.tree_util.tree_structure(unpickled),
+        )
+
     def test_detach_astype(self):
         op = self.create_linear_op()
         detached = op.detach()
@@ -714,9 +732,10 @@ class LinearOperatorTestCase(RectangularLinearOperatorTestCase):
         self.assertAllClose(res, dense * dense, rtol=1e-3, atol=1e-3)
 
     def test_add_low_rank_with_roots(self):
-        """generate_roots=True returns a ROOTED operator whose root
-        reconstructs K + V V^T (the reference's cache seeding,
-        :1139-1140)."""
+        """Roots are UPDATED when the operator carries one — a root-seeded
+        operator returns a ROOTED sum whose root reconstructs K + V V^T (the
+        reference's cache seeding, :1139-1140) — and are never speculatively
+        created (gate per reference :1079-1080)."""
         from ..operators.root import RootLinearOperator
 
         op = self.create_linear_op()
@@ -725,7 +744,8 @@ class LinearOperatorTestCase(RectangularLinearOperatorTestCase):
             self.key, (*op.batch_shape, op.shape[-1], 2), dtype=op.dtype
         )
         with settings.fast_computations(covar_root_decomposition=False):
-            updated = op.add_low_rank(v, generate_roots=True)
+            rooted_op = op.with_factorization(op.root_decomposition())
+            updated = rooted_op.add_low_rank(v)
         self.assertIsInstance(updated, RootLinearOperator)
         root = updated.root.to_dense()
         self.assertAllClose(
@@ -761,7 +781,9 @@ class LinearOperatorTestCase(RectangularLinearOperatorTestCase):
             self.assertAllClose(
                 lazy.to_dense(), block, **self.tolerances["matmul"]
             )
-            rooted = op.cat_rows(B, C, generate_roots=True)
+            # roots are only UPDATED, never speculatively created (reference
+            # :1265-1272): seed one first, then append.
+            rooted = op.with_factorization(op.root_decomposition()).cat_rows(B, C)
         self.assertIsInstance(rooted, RootLinearOperator)
         root = rooted.root.to_dense()
         self.assertAllClose(

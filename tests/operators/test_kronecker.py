@@ -124,6 +124,36 @@ class TestKroneckerAddedDiag(BaseTestCase):
         root = op._root_structure().to_dense()
         self.assertAllClose(root @ root.T, dense, rtol=1e-8, atol=1e-8)
 
+    def test_no_cholesky_used(self):
+        # Reference test_kronecker_product_added_diag_linear_operator.py:
+        # 140-158: solves and root_inv_decomposition route through the
+        # Kronecker eigendecomposition, never through a dense Cholesky of
+        # the full operator.
+        from unittest import mock
+
+        from linear_operator_tpu import settings
+
+        a = _psd(jax.random.PRNGKey(99), n=3)
+        b = _psd(jax.random.PRNGKey(94), n=4)
+        kp = KroneckerProductLinearOperator(
+            (DenseLinearOperator(a), DenseLinearOperator(b))
+        )
+        op = kp + ConstantDiagLinearOperator(
+            jnp.asarray([0.7], dtype=jnp.float64), diag_shape=12
+        )
+        dense = jnp.kron(a, b) + 0.7 * jnp.eye(12, dtype=jnp.float64)
+        rhs = jax.random.normal(self.key, (12, 5), dtype=jnp.float64)
+        with mock.patch.object(
+            type(op), "cholesky", side_effect=AssertionError("cholesky used")
+        ), settings.max_cholesky_size(0):
+            self.assertAllClose(
+                op.solve(rhs), jnp.linalg.solve(dense, rhs), rtol=1e-8, atol=1e-8
+            )
+            root_inv = op.root_inv_decomposition()
+            self.assertAllClose(
+                root_inv @ rhs, jnp.linalg.solve(dense, rhs), rtol=1e-5, atol=1e-5
+            )
+
     def test_hyperparameter_grads(self):
         a0 = _psd(jax.random.PRNGKey(97), n=3)
         b0 = _psd(jax.random.PRNGKey(98), n=3)

@@ -38,6 +38,23 @@ class TestIdentityLinearOperator(LinearOperatorTestCase):
     def evaluate_linear_op(self, op):
         return jnp.eye(op.diag_shape, dtype=jnp.float64)
 
+    def test_exp_log_abs(self):
+        # Reference test_identity_linear_operator.py:96-104 (log -> Zero,
+        # abs -> self); exp deliberately deviates to the Diag-consistent
+        # elementwise exp of the diagonal, e * I (see identity.py).
+        op = self.create_linear_op()
+        self.assertAllClose(
+            op.exp().to_dense(),
+            jnp.e * jnp.eye(6, dtype=jnp.float64),
+            rtol=1e-15,
+            atol=0,
+        )
+        self.assertAllClose(
+            op.log().to_dense(), jnp.zeros((6, 6)), rtol=0, atol=0
+        )
+        self.assertIs(op.abs(), op)
+        self.assertIs(op.sqrt(), op)
+
 
 class TestZeroLinearOperator(BaseTestCase):
     def test_basics(self):

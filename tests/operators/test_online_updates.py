@@ -47,6 +47,31 @@ class TestAddLowRank(BaseTestCase):
             updated.to_dense(), K + v @ v.T, rtol=1e-10, atol=1e-10
         )
 
+    def test_no_root_computation_when_no_roots(self):
+        # Reference regression (test_dense_linear_operator.py:
+        # test_no_root_computation_when_no_cached_roots): add_low_rank /
+        # cat_rows with the default generate_roots=True must NOT compute a
+        # root decomposition when the base operator doesn't already carry
+        # one — speculative roots caused SVD failures on ill-conditioned
+        # matrices.
+        from unittest import mock
+
+        from linear_operator_tpu.operators._linear_operator import LinearOperator
+        from linear_operator_tpu.operators import SumLinearOperator
+
+        K = _psd(jax.random.PRNGKey(142))
+        op = DenseLinearOperator(K)
+        v = jax.random.normal(self.key, (10, 2), dtype=jnp.float64)
+        with mock.patch.object(
+            LinearOperator,
+            "root_decomposition",
+            side_effect=AssertionError("speculative root computation"),
+        ):
+            updated = op.add_low_rank(v)
+            self.assertIsInstance(updated, SumLinearOperator)
+            appended = op.cat_rows(v, v.T @ jnp.linalg.solve(K, v) + jnp.eye(2))
+            self.assertNotIsInstance(appended, RootLinearOperator)
+
 
 class TestCatRows(BaseTestCase):
     def test_root_update_exact(self):
@@ -97,3 +122,31 @@ class TestSkipLogdetForward(BaseTestCase):
         g_on = jax.grad(lambda s: f(s, True))(1.0)
         g_off = jax.grad(lambda s: f(s, False))(1.0)
         self.assertAllClose(g_on, g_off, rtol=1e-10, atol=1e-10)
+
+    def test_preconditioned_forward_is_logdet_p(self):
+        # Reference parity: with skip_logdet_forward on, the forward logdet is
+        # logdet_p — the preconditioner's logdet is still added
+        # (_linear_operator.py:1799-1800); only the SLQ term is skipped.
+        from linear_operator_tpu.operators import AddedDiagLinearOperator, DiagLinearOperator
+
+        n = 60
+        K0 = _psd(jax.random.PRNGKey(145), n=n)
+        d = jnp.full((n,), 0.5, dtype=jnp.float64)
+
+        def ld_of(skip):
+            op = AddedDiagLinearOperator(DenseLinearOperator(K0), DiagLinearOperator(d))
+            with settings.skip_logdet_forward(skip), settings.max_cholesky_size(0), \
+                 settings.cg_tolerance(1e-10), settings.num_trace_samples(32), \
+                 settings.min_preconditioning_size(0), settings.max_preconditioner_size(10), \
+                 settings.max_cg_iterations(200):
+                if skip is None:
+                    _, _, logdet_p = op.detach()._preconditioner()
+                    return logdet_p
+                _, ld = op.inv_quad_logdet(None, logdet=True, key=jax.random.PRNGKey(6))
+                return ld
+
+        logdet_p = ld_of(None)
+        self.assertNotAlmostEqual(float(logdet_p), 0.0)  # preconditioner active
+        self.assertAllClose(ld_of(True), logdet_p, rtol=1e-12, atol=1e-12)
+        # And the full (skip off) estimate differs from logdet_p by the SLQ term.
+        self.assertGreater(abs(float(ld_of(False) - logdet_p)), 1e-3)

@@ -107,6 +107,37 @@ class TestBlockDiag(LinearOperatorTestCase):
         return jax.scipy.linalg.block_diag(*[blocks[i] for i in range(3)])
 
 
+class TestBlockDiagOfDiag(BaseTestCase):
+    def test_constructor_shortcut(self):
+        # Reference block_diag_linear_operator.py:20-35
+        # (_MetaBlockDiagLinearOperator): BlockDiag of Diag blocks IS a Diag.
+        from linear_operator_tpu.operators import DiagLinearOperator
+
+        d = jax.random.uniform(self.key, (3, 4), dtype=jnp.float64) + 1.0
+        op = BlockDiagLinearOperator(DiagLinearOperator(d))
+        self.assertIsInstance(op, DiagLinearOperator)
+        self.assertEqual(op.shape, (12, 12))
+        self.assertAllClose(op.diagonal(), d.reshape(-1), rtol=1e-15, atol=0)
+        # batched
+        db = jax.random.uniform(self.key, (2, 3, 4), dtype=jnp.float64) + 1.0
+        opb = BlockDiagLinearOperator(DiagLinearOperator(db))
+        self.assertIsInstance(opb, DiagLinearOperator)
+        self.assertEqual(opb.shape, (2, 12, 12))
+
+    def test_diag_matmul_block_diag(self):
+        # Reference diag_linear_operator.py:217-223: D @ blockdiag stays lazy
+        # block-diagonal with scaled blocks.
+        from linear_operator_tpu.operators import DiagLinearOperator
+
+        blocks = _psd(jax.random.PRNGKey(112), 3, n=4)
+        bd = BlockDiagLinearOperator(DenseLinearOperator(blocks))
+        d = jax.random.uniform(self.key, (12,), dtype=jnp.float64) + 0.5
+        out = DiagLinearOperator(d).matmul(bd)
+        self.assertIsInstance(out, BlockDiagLinearOperator)
+        expected = d[:, None] * bd.to_dense()
+        self.assertAllClose(out.to_dense(), expected, rtol=1e-12, atol=1e-12)
+
+
 class TestBlockInterleaved(BaseTestCase):
     def test_matmul_solve_logdet(self):
         blocks = _psd(jax.random.PRNGKey(111), 3, n=4)

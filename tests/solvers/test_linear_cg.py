@@ -55,6 +55,25 @@ class TestLinearCG(BaseTestCase):
         )(K, b)
         self.assertAllClose(res_pc.solution, jnp.linalg.solve(K, b), rtol=1e-5, atol=1e-5)
 
+    def test_initial_guess(self):
+        # Reference test/utils/test_linear_cg.py::test_batch_cg_init: CG
+        # warm-started from an initial guess converges to the same solution,
+        # and an exact warm start stays at the solution.
+        key = jax.random.PRNGKey(11)
+        A = self._make(key, 2, n=32, cond=50.0)
+        rhs = jax.random.normal(jax.random.PRNGKey(12), (2, 32, 3), dtype=jnp.float64)
+        x_true = jnp.linalg.solve(A, rhs)
+        x0 = x_true + 0.1 * jax.random.normal(jax.random.PRNGKey(13), x_true.shape, dtype=jnp.float64)
+        res = linear_cg(
+            lambda v: A @ v, rhs, max_iter=200, tolerance=1e-10, initial_guess=x0
+        )
+        self.assertAllClose(res.solution, x_true, rtol=1e-8, atol=1e-8)
+        # exact warm start: residual already ~0, solution unchanged
+        res2 = linear_cg(
+            lambda v: A @ v, rhs, max_iter=5, tolerance=1e-10, initial_guess=x_true
+        )
+        self.assertAllClose(res2.solution, x_true, rtol=1e-9, atol=1e-9)
+
     def test_tridiag_ritz_values(self):
         """The extracted tridiagonal's Ritz values approximate K's spectrum
         (reference test_linear_cg.py lanczos consistency checks)."""
