@@ -8,10 +8,10 @@ cutoff or when fast solves are disabled, preconditioned CG otherwise.
 Backward (reference :70-131): with x = K^{-1} rhs and cotangent g,
 
     rhs_bar = K^{-T} g
-    K_bar   = -rhs_bar x^T        (general)
-            = -1/2 (w x^T + x w^T) (symmetrized when K is self-adjoint,
-                                    matching the reference's stacked
-                                    bilinear-derivative form :96-131)
+    K_bar   = -rhs_bar x^T   (exact for any leaf parameterization; equals the
+                              reference's symmetrized stacked form :96-131
+                              whenever leaves enter K symmetrically — see
+                              ``_solve_bwd``)
 
 expressed through ``_bilinear_derivative`` so gradients reach the defining
 leaves of arbitrarily nested operators.  The backward calls ``solve`` again,
@@ -64,12 +64,16 @@ def _unbroadcast(g: jax.Array, shape: tuple) -> jax.Array:
 def _solve_bwd(res, g):
     op, x, rhs_shape = res
     w = solve_base(op._transpose(), g)
-    if op._symmetric_hint:
-        left = jnp.concatenate([w, x], axis=-1) * (-0.5)
-        right = jnp.concatenate([x, w], axis=-1)
-        op_bar = op._bilinear_derivative(left, right)
-    else:
-        op_bar = op._bilinear_derivative(-w, x)
+    # K_bar = -w x^T: the exact VJP for ANY leaf parameterization.  The
+    # reference's symmetrized stacked form -1/2(w x^T + x w^T)
+    # (functions/_solve.py:96-131) computes the identical gradient whenever
+    # the leaves enter K symmetrically (roots, diags, shared kernel inputs —
+    # every PSD composition), but silently redistributes the cotangent
+    # between asymmetric leaf roles (e.g. KernelLinearOperator's x1 vs x2,
+    # which torch never observes because both roles are one shared tensor).
+    # The exact form is per-leaf correct in all cases and contracts half the
+    # bilinear columns.
+    op_bar = op._bilinear_derivative(-w, x)
     return op_bar, _unbroadcast(w, rhs_shape)
 
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .._pytree import operator_class
+from .._pytree import operator_class, static_field
 from .. import settings
 from ._linear_operator import LinearOperator
 from .diag import DiagLinearOperator
@@ -67,9 +67,15 @@ class AddedDiagLinearOperator(SumLinearOperator):
     factor L (L L^T ~= K) so repeated solves / inv_quad_logdets on the same
     operator skip the O(n k) factor construction — the functional analog of
     the reference memoizing ``_preconditioner`` per object
-    (added_diag_linear_operator.py:95-116 under ``@cached``)."""
+    (added_diag_linear_operator.py:95-116 under ``@cached``).
+
+    ``preconditioner_override(self) -> (closure, precond_op, logdet_p)`` is
+    the reference's user hook for a custom preconditioner (constructor kwarg,
+    added_diag_linear_operator.py:61-93): when set, ``_preconditioner``
+    delegates to it unconditionally (no rank/size gating)."""
 
     precond_factor: jax.Array | None = None
+    preconditioner_override: "Callable | None" = static_field(default=None)
 
     def __post_init__(self):
         if len(self.operators) != 2:
@@ -77,11 +83,12 @@ class AddedDiagLinearOperator(SumLinearOperator):
         if not isinstance(self.operators[1], DiagLinearOperator):
             raise TypeError("second operand must be a DiagLinearOperator")
 
-    def __init__(self, op=None, diag_op=None, *, operators=None, precond_factor=None):  # type: ignore[override]
+    def __init__(self, op=None, diag_op=None, *, operators=None, precond_factor=None, preconditioner_override=None):  # type: ignore[override]
         if operators is None:
             operators = (op, diag_op)
         object.__setattr__(self, "operators", tuple(operators))
         object.__setattr__(self, "precond_factor", precond_factor)
+        object.__setattr__(self, "preconditioner_override", preconditioner_override)
         self.__post_init__()
 
     def with_preconditioner(self, factor: jax.Array | None = None):
@@ -156,6 +163,8 @@ class AddedDiagLinearOperator(SumLinearOperator):
         via Woodbury; logdet via the matrix determinant lemma — both O(n k^2).
         Gated exactly like the reference (:108-116).
         """
+        if self.preconditioner_override is not None:
+            return self.preconditioner_override(self)
         k = settings.max_preconditioner_size.value()
         n = self.shape[-1]
         if k == 0 or n < settings.min_preconditioning_size.value():

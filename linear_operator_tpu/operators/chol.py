@@ -20,6 +20,29 @@ class CholLinearOperator(RootLinearOperator):
 
     def __post_init__(self):
         if not isinstance(self.root, TriangularLinearOperator):
+            # Accept a raw triangular array like the reference (with a
+            # DeprecationWarning, chol_linear_operator.py:32-44); concrete
+            # arrays only — a tracer's triangularity is data-dependent.
+            root = self.root
+            if isinstance(root, jax.Array) and not isinstance(root, jax.core.Tracer):
+                import warnings
+
+                warnings.warn(
+                    "chol argument to CholLinearOperator should be a "
+                    "TriangularLinearOperator; pass one explicitly.",
+                    DeprecationWarning,
+                )
+                if bool(jnp.all(jnp.tril(root) == root)):
+                    object.__setattr__(
+                        self, "root", TriangularLinearOperator(root, upper=False)
+                    )
+                    return
+                if bool(jnp.all(jnp.triu(root) == root)):
+                    object.__setattr__(
+                        self, "root", TriangularLinearOperator(root, upper=True)
+                    )
+                    return
+                raise ValueError("chol must be either lower or upper triangular")
             raise TypeError("CholLinearOperator requires a TriangularLinearOperator root")
 
     # -- direct solves (reference :70-88) ----------------------------------

@@ -25,9 +25,22 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
+from .. import _pytree
 from .._pytree import operator_class, static_field
 from ..utils.broadcasting import broadcast_shapes
 from ._linear_operator import LinearOperator
+
+
+def _covar_matmul(kb, rhs: jax.Array) -> jax.Array:
+    """K-block @ rhs where the covar closure may return a dense array or a
+    LinearOperator (reference allows both — kernel_linear_operator.py:55-56)."""
+    if isinstance(kb, LinearOperator):
+        return kb.matmul(rhs)
+    return jnp.matmul(kb, rhs, precision=jax.lax.Precision.HIGH)
+
+
+def _covar_dense(kb) -> jax.Array:
+    return kb.to_dense() if isinstance(kb, LinearOperator) else kb
 
 
 @operator_class
@@ -56,26 +69,77 @@ class KernelLinearOperator(LinearOperator):
     # a per-SOLVE closure builder (hoisted setup, e.g. building the bf16
     # upper-triangle tile cache once and streaming it every CG iteration);
     # returning None falls back to the f32-dense cache / streaming paths.
+    num_outputs_per_input: tuple = static_field(default=(1, 1))
+    # (t1, t2): each x1 row produces t1 kernel rows, each x2 row t2 columns
+    # (multitask / LMC / gradient kernels — reference
+    # kernel_linear_operator.py:130-134, 402-410).
+    nonbatch_dims: tuple | None = static_field(default=None)
+    # Per-hyperparameter non-batch dimension counts, encoded as a hashable
+    # (("name", k), ...) tuple; unnamed params default to 2 (reference
+    # ``num_nonbatch_dimensions``, kernel_linear_operator.py:144-172).  A
+    # param's leading ``ndim - k`` dims are BATCH dims that broadcast into
+    # the operator's batch shape (see ``_shape``).
+    static_params: tuple = static_field(default=())
+    # Non-array covar_func kwargs as a hashable (("name", value), ...) tuple
+    # (reference ``nontensor_params``, kernel_linear_operator.py:153-160).
 
     @property
     def _symmetric_hint(self) -> bool:
         return self.symmetric
 
+    @property
+    def tensor_params(self) -> dict:
+        """Differentiable hyperparameters (reference ``tensor_params``)."""
+        return self.params
+
+    @property
+    def nontensor_params(self) -> dict:
+        """Non-array covar kwargs (reference ``nontensor_params``)."""
+        return dict(self.static_params)
+
+    def _all_params(self) -> dict:
+        return {**self.params, **dict(self.static_params)}
+
+    def _nonbatch(self, name: str) -> int:
+        for key, k in self.nonbatch_dims or ():
+            if key == name:
+                return k
+        return 2
+
+    def _param_batch_shapes(self) -> list[tuple[int, ...]]:
+        shapes = []
+        for name, val in self.params.items():
+            k = self._nonbatch(name)
+            shape = jnp.shape(val)
+            shapes.append(shape[: max(0, len(shape) - k)] if k else shape)
+        return shapes
+
+    def _batch_shape(self) -> tuple[int, ...]:
+        return broadcast_shapes(
+            self.x1.shape[:-2], self.x2.shape[:-2], *self._param_batch_shapes()
+        )
+
     def _shape(self) -> tuple[int, ...]:
-        batch = broadcast_shapes(self.x1.shape[:-2], self.x2.shape[:-2])
-        return (*batch, self.x1.shape[-2], self.x2.shape[-2])
+        t1, t2 = self.num_outputs_per_input
+        return (
+            *self._batch_shape(),
+            self.x1.shape[-2] * t1,
+            self.x2.shape[-2] * t2,
+        )
+
+    @property
+    def covar_mat(self):
+        """``covar_func(x1, x2, **params)`` — a dense array or a
+        LinearOperator (reference ``covar_mat``, :256-261)."""
+        return self.covar_func(self.x1, self.x2, **self._all_params())
 
     def _transpose(self) -> "KernelLinearOperator":
-        return KernelLinearOperator(
-            self.x2,
-            self.x1,
-            self.params,
-            covar_func=self.covar_func,
-            block_rows=self.block_rows,
-            symmetric=self.symmetric,
-            matvec_impl=self.matvec_impl,
-            materialize_threshold=self.materialize_threshold,
-            matvec_closure_impl=self.matvec_closure_impl,
+        t1, t2 = self.num_outputs_per_input
+        return _pytree.replace(
+            self,
+            x1=self.x2,
+            x2=self.x1,
+            num_outputs_per_input=(t2, t1),
         )
 
     def _matmul_closure(self):
@@ -118,7 +182,7 @@ class KernelLinearOperator(LinearOperator):
         return self._matmul
 
     def _kernel_block(self, x1_block: jax.Array) -> jax.Array:
-        return self.covar_func(x1_block, self.x2, **self.params)
+        return self.covar_func(x1_block, self.x2, **self._all_params())
 
     def _matmul(self, rhs: jax.Array) -> jax.Array:
         # The K-block @ rhs contraction needs >= 3-pass-bf16 (HIGH) products:
@@ -130,13 +194,10 @@ class KernelLinearOperator(LinearOperator):
             return self.matvec_impl(
                 self.x1, self.x2, rhs, self.params, symmetric=self.symmetric
             )
+        t1, _ = self.num_outputs_per_input
         n = self.x1.shape[-2]
         if n <= self.block_rows:
-            return jnp.matmul(
-                self._kernel_block(self.x1),
-                rhs,
-                precision=jax.lax.Precision.HIGH,
-            )
+            return _covar_matmul(self._kernel_block(self.x1), rhs)
         nblocks = -(-n // self.block_rows)
         pad = nblocks * self.block_rows - n
         x1p = jnp.pad(self.x1, [(0, 0)] * (self.x1.ndim - 2) + [(0, pad), (0, 0)])
@@ -154,18 +215,19 @@ class KernelLinearOperator(LinearOperator):
         # bwd pass — the same recompute-don't-store design as the forward).
         @jax.checkpoint
         def one_block(x1_block, x2, rhs, params):
-            return jnp.matmul(
-                self.covar_func(x1_block, x2, **params),
+            return _covar_matmul(
+                self.covar_func(x1_block, x2, **params, **dict(self.static_params)),
                 rhs,
-                precision=jax.lax.Precision.HIGH,
             )
 
         out = jax.lax.map(
             lambda xb: one_block(xb, self.x2, rhs, self.params), x1b
-        )  # (nblocks, *bb, block, t)
+        )  # (nblocks, *bb, block*t1, t)
         out = jnp.moveaxis(out, 0, -3)
-        out = out.reshape(*out.shape[:-3], nblocks * self.block_rows, out.shape[-1])
-        return out[..., :n, :]
+        out = out.reshape(
+            *out.shape[:-3], nblocks * self.block_rows * t1, out.shape[-1]
+        )
+        return out[..., : n * t1, :]
 
     def _bilinear_derivative(self, left_vecs, right_vecs):
         """Fused blocked backward (one formation sweep).
@@ -180,6 +242,7 @@ class KernelLinearOperator(LinearOperator):
         ``_bilinear_derivative`` overrides exist for the same reason,
         _linear_operator.py:336-393).
         """
+        t1, _ = self.num_outputs_per_input
         n = self.x1.shape[-2]
         if self.matvec_impl is not None or n <= self.block_rows:
             # small (single-block: residuals fit, default stores them once)
@@ -194,23 +257,24 @@ class KernelLinearOperator(LinearOperator):
             -3,
             0,
         )  # (nblocks, *b1, block, d)
-        # zero-pad left along n: pad rows contribute zero cotangent
+        # zero-pad left along n*t1: pad rows contribute zero cotangent
         lp = jnp.pad(
-            left_vecs, [(0, 0)] * (left_vecs.ndim - 2) + [(0, pad), (0, 0)]
+            left_vecs, [(0, 0)] * (left_vecs.ndim - 2) + [(0, pad * t1), (0, 0)]
         )
         lb = jnp.moveaxis(
-            lp.reshape(*lp.shape[:-2], nblocks, self.block_rows, lp.shape[-1]),
+            lp.reshape(
+                *lp.shape[:-2], nblocks, self.block_rows * t1, lp.shape[-1]
+            ),
             -3,
             0,
-        )  # (nblocks, *bl, block, t)
+        )  # (nblocks, *bl, block*t1, t)
 
         def block_grad(x1_block, left_block):
             def g(x1_block, x2, params):
-                kb = self.covar_func(x1_block, x2, **params)
-                return jnp.sum(
-                    left_block
-                    * jnp.matmul(kb, right_vecs, precision=jax.lax.Precision.HIGH)
+                kb = self.covar_func(
+                    x1_block, x2, **params, **dict(self.static_params)
                 )
+                return jnp.sum(left_block * _covar_matmul(kb, right_vecs))
 
             return jax.grad(g, argnums=(0, 1, 2), allow_int=True)(
                 x1_block, self.x2, self.params
@@ -232,79 +296,147 @@ class KernelLinearOperator(LinearOperator):
             return jnp.sum(a, axis=0)
 
         dparams = jax.tree_util.tree_map(_sum_blocks, dparamsb)
-        return KernelLinearOperator(
-            dx1,
-            dx2,
-            dparams,
-            covar_func=self.covar_func,
-            block_rows=self.block_rows,
-            symmetric=self.symmetric,
-            matvec_impl=self.matvec_impl,
-            materialize_threshold=self.materialize_threshold,
-            matvec_closure_impl=self.matvec_closure_impl,
-        )
+        return _pytree.replace(self, x1=dx1, x2=dx2, params=dparams)
+
+    def _per_point_blocks(self) -> jax.Array:
+        """(*b, n, t1, t2) per-point kernel blocks: n shoved into a batch dim
+        and the covar closure re-invoked on singleton data (reference
+        ``_diagonal``, :230-254)."""
+        # Batched params gain the n singleton just before their non-batch
+        # dims; params with no batch dims broadcast as-is.
+        params = {}
+        for name, val in self.params.items():
+            k = self._nonbatch(name)
+            if jnp.ndim(val) > k:  # has batch dims: align them before n
+                val = jnp.expand_dims(val, -(k + 1))
+            params[name] = val
+        vals = self.covar_func(
+            self.x1[..., :, None, :],
+            self.x2[..., :, None, :],
+            **params,
+            **dict(self.static_params),
+        )  # (*b, n, t1, t2)
+        return _covar_dense(vals)
 
     def _diagonal(self) -> jax.Array:
-        # Pairwise evaluation: treat n as a batch dim, 1x1 kernel blocks.
-        vals = self.covar_func(
-            self.x1[..., :, None, :], self.x2[..., :, None, :], **self.params
-        )  # (*b, n, 1, 1)
-        return vals[..., 0, 0]
+        vals = self._per_point_blocks()
+        if self.num_outputs_per_input == (1, 1):
+            return vals[..., 0, 0]
+        # (*b, n, t, t) -> per-point block diagonals, flattened to (*b, n*t)
+        d = jnp.diagonal(vals, axis1=-2, axis2=-1)  # (*b, n, t)
+        return d.reshape(*d.shape[:-2], -1)
 
     def to_dense(self) -> jax.Array:
-        return self.covar_func(self.x1, self.x2, **self.params)
+        return _covar_dense(self.covar_mat)
+
+    def _covar_mat_operator(self) -> LinearOperator:
+        from .dense import DenseLinearOperator
+
+        mat = self.covar_mat
+        return mat if isinstance(mat, LinearOperator) else DenseLinearOperator(mat)
+
+    def _broadcast_data(self) -> tuple[jax.Array, jax.Array]:
+        """x1/x2 broadcast to the operator's full batch shape (the reference
+        expands them in __init__, :202-208); needed before batch indexing."""
+        bshape = self._batch_shape()
+        return (
+            jnp.broadcast_to(self.x1, (*bshape, *self.x1.shape[-2:])),
+            jnp.broadcast_to(self.x2, (*bshape, *self.x2.shape[-2:])),
+        )
+
+    def _index_param(self, name, val, batch_indices):
+        """params[*batch_indices, (nonbatch...)] with the param broadcast to
+        the operator batch shape first (the reference expands every param to
+        ``batch_broadcast_shape`` in __init__, :202-208)."""
+        if not batch_indices:
+            return val
+        k = self._nonbatch(name)
+        nonbatch = jnp.shape(val)[max(0, jnp.ndim(val) - k) :] if k else ()
+        val = jnp.broadcast_to(val, (*self._batch_shape(), *nonbatch))
+        return val[(*batch_indices, *([slice(None)] * len(nonbatch)))]
 
     def _getitem(self, row_index, col_index, *batch_indices) -> LinearOperator:
-        x1 = self.x1[(*batch_indices, row_index, slice(None))]
-        x2 = self.x2[(*batch_indices, col_index, slice(None))]
+        if self.num_outputs_per_input != (1, 1):
+            # Multi-output rows/cols don't correspond 1:1 to data points;
+            # delegate to the materialized covar operator (the reference
+            # falls back to ``covar_mat._getitem`` here, :300-355).
+            return self._covar_mat_operator()._getitem(
+                row_index, col_index, *batch_indices
+            )
+        x1, x2 = self._broadcast_data() if batch_indices else (self.x1, self.x2)
+        x1 = x1[(*batch_indices, row_index, slice(None))]
+        x2 = x2[(*batch_indices, col_index, slice(None))]
         params = {
-            k: v[tuple(batch_indices)] if jnp.ndim(v) > 2 else v
+            k: self._index_param(k, v, batch_indices)
             for k, v in self.params.items()
         }
-        return KernelLinearOperator(
-            x1,
-            x2,
-            params,
-            covar_func=self.covar_func,
-            block_rows=self.block_rows,
+        return _pytree.replace(
+            self,
+            x1=x1,
+            x2=x2,
+            params=params,
             symmetric=self.symmetric
             and isinstance(row_index, slice)
             and isinstance(col_index, slice)
             and row_index == col_index,
-            materialize_threshold=self.materialize_threshold,
-            matvec_closure_impl=self.matvec_closure_impl,
         )
 
     def _get_indices(self, row_index, col_index, *batch_indices) -> jax.Array:
         """Pointwise kernel evaluation on gathered inputs (reference
         :263-378): k(x1[i], x2[j]) elementwise over broadcast index arrays."""
-        x1 = self.x1[(*batch_indices, row_index, slice(None))]  # (*idx, d)
-        x2 = self.x2[(*batch_indices, col_index, slice(None))]
-        vals = self.covar_func(x1[..., None, :], x2[..., None, :], **self.params)
-        return vals[..., 0, 0]
+        t1, t2 = self.num_outputs_per_input
+        data_row = row_index // t1 if t1 != 1 else row_index
+        data_col = col_index // t2 if t2 != 1 else col_index
+        x1, x2 = self._broadcast_data() if batch_indices else (self.x1, self.x2)
+        x1 = x1[(*batch_indices, data_row, slice(None))]  # (*idx, d)
+        x2 = x2[(*batch_indices, data_col, slice(None))]
+        params = {}
+        for name, val in self.params.items():
+            k = self._nonbatch(name)
+            if batch_indices:
+                nonbatch = jnp.shape(val)[max(0, jnp.ndim(val) - k) :] if k else ()
+                bval = jnp.broadcast_to(val, (*self._batch_shape(), *nonbatch))
+                params[name] = bval[tuple(batch_indices)]
+            else:
+                params[name] = val
+        vals = _covar_dense(
+            self.covar_func(
+                x1[..., None, :],
+                x2[..., None, :],
+                **params,
+                **dict(self.static_params),
+            )
+        )  # (*idx, t1, t2)
+        if (t1, t2) == (1, 1):
+            return vals[..., 0, 0]
+        return jnp.take_along_axis(
+            jnp.take_along_axis(
+                vals, (row_index % t1)[..., None, None], axis=-2
+            ),
+            (col_index % t2)[..., None, None],
+            axis=-1,
+        )[..., 0, 0]
 
-    def _select_rows(self, idx) -> "KernelLinearOperator":
+    def _select_rows(self, idx) -> LinearOperator:
         """K[idx, :] stays a lazy kernel operator on gathered points
         (reference :263-378 re-invokes the covar closure on sub-data)."""
-        return KernelLinearOperator(
-            self.x1[..., idx, :],
-            self.x2,
-            self.params,
-            covar_func=self.covar_func,
-            block_rows=self.block_rows,
+        if self.num_outputs_per_input != (1, 1):
+            return super()._select_rows(idx)
+        return _pytree.replace(
+            self,
+            x1=self.x1[..., idx, :],
             symmetric=False,
-            materialize_threshold=self.materialize_threshold,
+            matvec_closure_impl=None,
         )
 
-    def _select_cols(self, idx) -> "KernelLinearOperator":
-        return KernelLinearOperator(
-            self.x1,
-            self.x2[..., idx, :],
-            self.params,
-            covar_func=self.covar_func,
-            block_rows=self.block_rows,
+    def _select_cols(self, idx) -> LinearOperator:
+        if self.num_outputs_per_input != (1, 1):
+            return super()._select_cols(idx)
+        return _pytree.replace(
+            self,
+            x2=self.x2[..., idx, :],
             symmetric=False,
-            materialize_threshold=self.materialize_threshold,
+            matvec_closure_impl=None,
         )
 
 

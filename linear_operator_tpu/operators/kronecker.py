@@ -66,9 +66,21 @@ def _kron_vector(vectors):
     return out
 
 
+def _kron_init(self, *operators):
+    """Variadic constructor like the reference's ``*linear_ops``
+    (kronecker_product_linear_operator.py:63-76); also accepts a single
+    tuple/list of factors (this package's dataclass form)."""
+    if len(operators) == 1 and isinstance(operators[0], (tuple, list)):
+        operators = tuple(operators[0])
+    object.__setattr__(self, "operators", tuple(operators))
+    self.__post_init__()
+
+
 @operator_class
 class KroneckerProductLinearOperator(LinearOperator):
     operators: tuple  # the factors
+
+    __init__ = _kron_init
 
     @property
     def _symmetric_hint(self) -> bool:
@@ -291,11 +303,21 @@ def _factor_inverse(f: LinearOperator) -> LinearOperator:
     return DenseLinearOperator(jnp.linalg.inv(f.to_dense()))
 
 
+def _kron_init_triangular(self, *operators, upper=False):
+    if len(operators) == 1 and isinstance(operators[0], (tuple, list)):
+        operators = tuple(operators[0])
+    object.__setattr__(self, "operators", tuple(operators))
+    object.__setattr__(self, "upper", upper)
+    self.__post_init__()
+
+
 @operator_class
 class KroneckerProductTriangularLinearOperator(KroneckerProductLinearOperator):
     """Kronecker product of triangular factors (reference :382-433)."""
 
     upper: bool = static_field(default=False)
+
+    __init__ = _kron_init_triangular
 
     @property
     def _inherently_triangular(self) -> bool:
@@ -337,6 +359,8 @@ class KroneckerProductTriangularLinearOperator(KroneckerProductLinearOperator):
 class KroneckerProductDiagLinearOperator(KroneckerProductLinearOperator):
     """Kronecker product of diagonal factors (reference :436-543)."""
 
+    __init__ = _kron_init
+
     @property
     def _inherently_triangular(self) -> bool:
         return True
@@ -355,6 +379,14 @@ class KroneckerProductDiagLinearOperator(KroneckerProductLinearOperator):
             term = (n // f.shape[-1]) * jnp.sum(jnp.log(f._diagonal()), axis=-1)
             total = term if total is None else total + term
         return total
+
+    def abs(self) -> "KroneckerProductDiagLinearOperator":
+        # |kron(d_1, ..., d_f)| = kron(|d_1|, ..., |d_f|) (reference :510-514)
+        from .diag import DiagLinearOperator
+
+        return KroneckerProductDiagLinearOperator(
+            tuple(DiagLinearOperator(jnp.abs(f._diagonal())) for f in self.operators)
+        )
 
     def inverse(self) -> "KroneckerProductDiagLinearOperator":
         from .diag import DiagLinearOperator

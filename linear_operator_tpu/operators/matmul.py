@@ -18,6 +18,16 @@ class MatmulLinearOperator(LinearOperator):
     left: LinearOperator
     right: LinearOperator
 
+    def __post_init__(self):
+        # Accept raw array factors like the reference constructor
+        # (matmul_linear_operator.py:25-27); unflatten bypasses this.
+        from ._linear_operator import to_linear_operator
+
+        for name in ("left", "right"):
+            val = getattr(self, name)
+            if not isinstance(val, LinearOperator):
+                object.__setattr__(self, name, to_linear_operator(val))
+
     def _matmul(self, rhs: jax.Array) -> jax.Array:
         return self.left._matmul(self.right._matmul(rhs))
 
@@ -39,7 +49,19 @@ class MatmulLinearOperator(LinearOperator):
         return jnp.einsum("...ij,...ji->...i", left, right)
 
     def to_dense(self) -> jax.Array:
-        return jnp.matmul(self.left.to_dense(), self.right.to_dense())
+        # Diagonal factors densify by elementwise row/col scaling instead of
+        # a materialized diag matmul (reference matmul_linear_operator.py's
+        # diag optimization, test/operators/test_matmul_linear_operator.py:59-108).
+        from .diag import DiagLinearOperator
+
+        left, right = self.left, self.right
+        if isinstance(left, DiagLinearOperator) and not isinstance(
+            right, DiagLinearOperator
+        ):
+            return left._diagonal()[..., :, None] * right.to_dense()
+        if isinstance(right, DiagLinearOperator):
+            return left.to_dense() * right._diagonal()[..., None, :]
+        return jnp.matmul(left.to_dense(), right.to_dense())
 
     def _expand_batch(self, batch_shape):
         return MatmulLinearOperator(

@@ -26,16 +26,28 @@ class SumLinearOperator(LinearOperator):
         if len(self.operators) < 1:
             raise ValueError("SumLinearOperator needs at least one term")
 
+    def _term_mm(self, op, rhs: jax.Array, transpose: bool) -> jax.Array:
+        # A term whose matrix dims are broadcast against the sum's (e.g. a
+        # (n, 1) column operator in a (n, m) sum) multiplies as its dense
+        # broadcast — the degenerate case the reference supports only through
+        # to_dense (sum_linear_operator.py:20-25 broadcast shapes).
+        if tuple(op.matrix_shape) == tuple(self.matrix_shape):
+            return op._t_matmul(rhs) if transpose else op._matmul(rhs)
+        d = jnp.broadcast_to(
+            op.to_dense(), (*op.batch_shape, *self.matrix_shape)
+        )
+        return jnp.matmul(jnp.swapaxes(d, -1, -2) if transpose else d, rhs)
+
     def _matmul(self, rhs: jax.Array) -> jax.Array:
-        out = self.operators[0]._matmul(rhs)
+        out = self._term_mm(self.operators[0], rhs, False)
         for op in self.operators[1:]:
-            out = out + op._matmul(rhs)
+            out = out + self._term_mm(op, rhs, False)
         return out
 
     def _t_matmul(self, rhs: jax.Array) -> jax.Array:
-        out = self.operators[0]._t_matmul(rhs)
+        out = self._term_mm(self.operators[0], rhs, True)
         for op in self.operators[1:]:
-            out = out + op._t_matmul(rhs)
+            out = out + self._term_mm(op, rhs, True)
         return out
 
     def _matmul_closure(self):
@@ -68,16 +80,25 @@ class SumLinearOperator(LinearOperator):
         return replace(zeros, operators=terms)
 
     def _shape(self) -> tuple[int, ...]:
+        # matrix dims broadcast too: (n, 1) + (n, m) -> (n, m) (reference
+        # sum_linear_operator.py:20-25 broadcasts all shapes).
         batch = broadcast_shapes(*(op.batch_shape for op in self.operators))
-        return (*batch, *self.operators[0].matrix_shape)
+        matrix = broadcast_shapes(*(op.matrix_shape for op in self.operators))
+        return (*batch, *matrix)
 
     def _transpose(self) -> "SumLinearOperator":
         return SumLinearOperator(tuple(op._transpose() for op in self.operators))
 
     def _diagonal(self) -> jax.Array:
-        out = self.operators[0]._diagonal()
+        def term_diag(op):
+            if tuple(op.matrix_shape) == tuple(self.matrix_shape):
+                return op._diagonal()
+            d = jnp.broadcast_to(op.to_dense(), (*op.batch_shape, *self.matrix_shape))
+            return jnp.diagonal(d, axis1=-2, axis2=-1)
+
+        out = term_diag(self.operators[0])
         for op in self.operators[1:]:
-            out = out + op._diagonal()
+            out = out + term_diag(op)
         return out
 
     def to_dense(self) -> jax.Array:

@@ -34,6 +34,14 @@ class TriangularLinearOperator(LinearOperator):
     _tensor: LinearOperator
     upper: bool = static_field(default=False)
 
+    def __post_init__(self):
+        # Accept a raw array like the reference constructor
+        # (triangular_linear_operator.py:40-49); unflatten bypasses this.
+        if not isinstance(self._tensor, LinearOperator):
+            from ._linear_operator import to_linear_operator
+
+            object.__setattr__(self, "_tensor", to_linear_operator(self._tensor))
+
     def _matmul(self, rhs: jax.Array) -> jax.Array:
         # Mask to the triangle so values AND gradients ignore the dead half
         # (the reference trusts callers to pass triangular tensors; masking

@@ -64,6 +64,12 @@ class ZeroLinearOperator(LinearOperator):
 
     def __add__(self, other):
         if isinstance(other, LinearOperator):
+            # 0 + A = A, but broadcast up to this operator's batch shape
+            # (reference zero_linear_operator.py:120-155 expands the added
+            # diagonal to the Zero operator's batch).
+            target = jnp.broadcast_shapes(self.batch_shape, other.batch_shape)
+            if target != tuple(other.batch_shape):
+                return other._expand_batch(target)
             return other
         from .dense import DenseLinearOperator
 

@@ -1,0 +1,313 @@
+"""Round-4 reference-test parity sweep.
+
+Each test class mirrors a custom (non-harness) test in the reference's
+external test/ tree that had no explicit equivalent here; citations point at
+/root/reference/test/... counterparts.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from linear_operator_tpu import settings
+from linear_operator_tpu.operators import (
+    AddedDiagLinearOperator,
+    DenseLinearOperator,
+    DiagLinearOperator,
+    LowRankRootLinearOperator,
+    MatmulLinearOperator,
+    RootLinearOperator,
+    ZeroLinearOperator,
+    to_linear_operator,
+)
+from linear_operator_tpu.test.base_test_case import BaseTestCase
+
+
+class TestMatmulDiagOptimization(BaseTestCase):
+    """Reference test/operators/test_matmul_linear_operator.py:59-108:
+    diagonal factors of a lazy product densify by elementwise scaling."""
+
+    def test_diag_left_matmul_to_dense(self):
+        diag = jnp.asarray([1.0, 2.0, 3.0, 4.0])
+        A = jax.random.normal(self.key, (4, 5), dtype=jnp.float64)
+        result = MatmulLinearOperator(DiagLinearOperator(diag), DenseLinearOperator(A))
+        self.assertAllClose(result.to_dense(), jnp.diag(diag) @ A, rtol=1e-12, atol=1e-12)
+
+    def test_diag_right_matmul_to_dense(self):
+        diag = jnp.asarray([1.0, 2.0, 3.0, 4.0, 5.0])
+        A = jax.random.normal(self.key, (4, 5), dtype=jnp.float64)
+        result = MatmulLinearOperator(DenseLinearOperator(A), DiagLinearOperator(diag))
+        self.assertAllClose(result.to_dense(), A @ jnp.diag(diag), rtol=1e-12, atol=1e-12)
+
+    def test_diag_sandwich_to_dense(self):
+        diag1 = jnp.asarray([1.0, 2.0, 3.0, 4.0])
+        diag2 = jnp.asarray([0.5, 1.5, 2.5, 3.5])
+        A = jax.random.normal(self.key, (4, 4), dtype=jnp.float64)
+        result = DiagLinearOperator(diag1) @ DenseLinearOperator(A) @ DiagLinearOperator(diag2)
+        expected = jnp.diag(diag1) @ A @ jnp.diag(diag2)
+        self.assertAllClose(result.to_dense(), expected, rtol=1e-12, atol=1e-12)
+
+    def test_diag_sandwich_batch(self):
+        d1 = jnp.abs(jax.random.normal(self.key, (3, 4), dtype=jnp.float64))
+        d2 = jnp.abs(jax.random.normal(self.key, (3, 4), dtype=jnp.float64))
+        A = jax.random.normal(self.key, (3, 4, 4), dtype=jnp.float64)
+        result = DiagLinearOperator(d1) @ DenseLinearOperator(A) @ DiagLinearOperator(d2)
+        expected = d1[..., :, None] * A * d2[..., None, :]
+        self.assertAllClose(result.to_dense(), expected, rtol=1e-12, atol=1e-12)
+
+
+class TestSumBroadcasting(BaseTestCase):
+    """Reference test/operators/test_sum_linear_operator.py:66-102."""
+
+    def test_broadcast_same_shape(self):
+        t1 = to_linear_operator(jax.random.normal(self.key, (30, 30), dtype=jnp.float64))
+        t2 = jax.random.normal(self.key, (30, 30), dtype=jnp.float64)
+        res = t1 + t2
+        final = res + t2
+        expected = res.to_dense() + t2
+        self.assertEqual(final.shape, expected.shape)
+        self.assertAllClose(final.to_dense(), expected, rtol=1e-12, atol=1e-12)
+
+    def test_broadcast_tensor_shape(self):
+        t1 = to_linear_operator(jax.random.normal(self.key, (30, 30), dtype=jnp.float64))
+        t2 = jax.random.normal(self.key, (30, 1), dtype=jnp.float64)
+        res = t1 + t2
+        final = res + t2
+        expected = res.to_dense() + t2
+        self.assertEqual(final.shape, expected.shape)
+        self.assertAllClose(final.to_dense(), expected, rtol=1e-12, atol=1e-12)
+
+    def test_broadcast_lazy_shape(self):
+        t1 = to_linear_operator(jax.random.normal(self.key, (30, 1), dtype=jnp.float64))
+        t2 = jax.random.normal(self.key, (30, 30), dtype=jnp.float64)
+        res = t1 + t2
+        final = res + t2
+        expected = res.to_dense() + t2
+        self.assertEqual(final.shape, expected.shape)
+        self.assertAllClose(final.to_dense(), expected, rtol=1e-12, atol=1e-12)
+
+
+class TestZeroAddDiagonal(BaseTestCase):
+    """Reference test/operators/test_zero_linear_operator.py:120-163."""
+
+    def test_add_diagonal_scalar_and_vector(self):
+        eye5 = jnp.eye(5, dtype=jnp.float64)
+        for diag, expected in [
+            (jnp.asarray(1.5), eye5 * 1.5),
+            (jnp.asarray([1.5]), eye5 * 1.5),
+            (
+                jnp.asarray([1.5, 1.3, 1.2, 1.1, 2.0]),
+                jnp.diag(jnp.asarray([1.5, 1.3, 1.2, 1.1, 2.0])),
+            ),
+        ]:
+            res = ZeroLinearOperator(shape_=(5, 5), dtype_="float64").add_diagonal(diag)
+            self.assertAllClose(res.to_dense(), expected, rtol=0, atol=0)
+
+    def test_add_diagonal_batch(self):
+        eye5 = jnp.eye(5, dtype=jnp.float64)
+        z = ZeroLinearOperator(shape_=(2, 5, 5), dtype_="float64")
+        self.assertAllClose(
+            z.add_diagonal(jnp.asarray(1.5)).to_dense(),
+            jnp.tile(eye5 * 1.5, (2, 1, 1)),
+            rtol=0,
+            atol=0,
+        )
+        v = jnp.asarray([1.5, 1.3, 1.2, 1.1, 2.0])
+        self.assertAllClose(
+            z.add_diagonal(v).to_dense(),
+            jnp.tile(jnp.diag(v), (2, 1, 1)),
+            rtol=0,
+            atol=0,
+        )
+        m = jnp.asarray([[1.5, 1.3, 1.2, 1.1, 2.0], [0.0, 1.0, 2.0, 1.0, 1.0]])
+        self.assertAllClose(
+            z.add_diagonal(m).to_dense(),
+            jax.vmap(jnp.diag)(m),
+            rtol=0,
+            atol=0,
+        )
+
+    def test_matmul_zero(self):
+        zero = ZeroLinearOperator(shape_=(5, 4, 3), dtype_="float64")
+        square = ZeroLinearOperator(shape_=(5, 3, 3), dtype_="float64")
+        product = zero.matmul(square)
+        self.assertAllClose(product.to_dense(), jnp.zeros((5, 4, 3)), rtol=0, atol=0)
+
+
+_CALLS = {"n": 0}
+
+
+def _deflation_preconditioner(op):
+    """Deflation preconditioner from the top-k eigenpairs (reference
+    test/operators/test_added_diag_linear_operator.py:84-120; made SPD here —
+    P = V diag(lam) V^T + (I - V V^T) — so preconditioned CG stays valid on
+    the full space, where the reference's pure projection is singular)."""
+    _CALLS["n"] += 1
+    evals, evecs = jnp.linalg.eigh(op.to_dense())
+    top_vals = evals[..., -40:]
+    top_vecs = evecs[..., -40:]
+    precond_op = RootLinearOperator(
+        DenseLinearOperator(top_vecs * jnp.sqrt(top_vals)[..., None, :])
+    ).add_diagonal(jnp.asarray(1.0, evals.dtype))
+
+    def closure(rhs):
+        vt_rhs = top_vecs.T @ rhs
+        return rhs + top_vecs @ (vt_rhs / top_vals[..., :, None] - vt_rhs)
+
+    return closure, precond_op, jnp.sum(jnp.log(top_vals), axis=-1)
+
+
+class TestAddedDiagPrecondOverride(BaseTestCase):
+    """Reference TestAddedDiagLinearOperatorPrecondOverride
+    (test_added_diag_linear_operator.py:84-120): a user-supplied
+    ``preconditioner_override`` drives the CG solve and the solve stays
+    correct."""
+
+    def test_precond_solve(self):
+        n, k = 200, 150
+        tensor = jax.random.normal(self.key, (n, k), dtype=jnp.float64)
+        diag = jnp.abs(jax.random.normal(self.key, (n,), dtype=jnp.float64)) + 0.5
+
+        standard = AddedDiagLinearOperator(
+            RootLinearOperator(DenseLinearOperator(tensor)),
+            DiagLinearOperator(diag),
+        )
+        overrode = AddedDiagLinearOperator(
+            RootLinearOperator(DenseLinearOperator(tensor)),
+            DiagLinearOperator(diag),
+            preconditioner_override=_deflation_preconditioner,
+        )
+
+        rhs = jax.random.normal(self.key, (n, 1), dtype=jnp.float64)
+        before = _CALLS["n"]
+        with settings.max_cholesky_size(0), settings.cg_tolerance(1e-10), \
+             settings.max_cg_iterations(2000):
+            x_std = standard.solve(rhs)
+            x_ovr = overrode.solve(rhs)
+        self.assertGreater(_CALLS["n"], before)  # override was consulted
+        dense = tensor @ tensor.T + jnp.diag(diag)
+        expected = jnp.linalg.solve(dense, rhs)
+        self.assertAllClose(x_std, expected, rtol=1e-5, atol=1e-5)
+        self.assertAllClose(x_ovr, expected, rtol=1e-5, atol=1e-5)
+
+
+class TestRootDecompositionExact(BaseTestCase):
+    """Reference test/operators/test_dense_linear_operator.py:25-33:
+    with fast covar_root_decomposition off, root_decomposition reproduces
+    K @ v to 10% normwise."""
+
+    def _check(self, batch=()):
+        a = jax.random.normal(self.key, (*batch, 8, 8), dtype=jnp.float64)
+        K = a @ jnp.swapaxes(a, -1, -2) + 0.5 * jnp.eye(8, dtype=jnp.float64)
+        op = DenseLinearOperator(K)
+        v = jax.random.normal(self.key, (*batch, 8, 5), dtype=jnp.float64)
+        with settings.fast_computations(covar_root_decomposition=False):
+            root = op.root_decomposition().root.to_dense()
+        res = root @ (jnp.swapaxes(root, -1, -2) @ v)
+        actual = K @ v
+        rel = jnp.linalg.norm(res - actual) / jnp.linalg.norm(actual)
+        self.assertLess(float(rel), 0.1)
+
+    def test_root_decomposition_exact(self):
+        self._check()
+
+    def test_root_decomposition_exact_batch(self):
+        self._check(batch=(3,))
+
+
+class TestLowRankRootAddedDiagRootCholesky(BaseTestCase):
+    """Reference test/operators/test_low_rank_root_added_diag_linear_operator.py:104-106."""
+
+    def test_root_decomposition_cholesky(self):
+        n, k = 12, 3
+        U = jax.random.normal(self.key, (n, k), dtype=jnp.float64)
+        d = jnp.abs(jax.random.normal(self.key, (n,), dtype=jnp.float64)) + 0.5
+        op = LowRankRootLinearOperator(DenseLinearOperator(U)) + DiagLinearOperator(d)
+        dense = U @ U.T + jnp.diag(d)
+        with settings.max_cholesky_size(10_000), settings.fast_computations(
+            covar_root_decomposition=False
+        ):
+            root = op.root_decomposition(method="cholesky").root.to_dense()
+        self.assertAllClose(root @ root.T, dense, rtol=1e-8, atol=1e-8)
+
+
+class TestInterpolationKernels(BaseTestCase):
+    """Reference test/utils/test_interpolation.py:11-131: left_interp /
+    left_t_interp on vector / matrix / batch / batch-matrix operands, vs a
+    dense interpolation matrix."""
+
+    def _make(self, batch, n=6, k=3, M=10):
+        ki, kv = jax.random.split(self.key)
+        idx = jax.random.randint(ki, (*batch, n, k), 0, M)
+        val = jax.random.normal(kv, (*batch, n, k), dtype=jnp.float64)
+        # dense W via one-hot scatter
+        W = jnp.sum(
+            jax.nn.one_hot(idx, M, dtype=jnp.float64) * val[..., None], axis=-2
+        )  # (*batch, n, M)
+        return idx, val, W
+
+    def _check(self, idx_batch, rhs_batch, t):
+        from linear_operator_tpu.utils.sparse import left_interp, left_t_interp
+
+        M = 10
+        idx, val, W = self._make(idx_batch, M=M)
+        rhs = jax.random.normal(self.key, (*rhs_batch, M, t), dtype=jnp.float64)
+        self.assertAllClose(
+            left_interp(idx, val, rhs), W @ rhs, rtol=1e-12, atol=1e-12
+        )
+        rhs_t = jax.random.normal(self.key, (*rhs_batch, 6, t), dtype=jnp.float64)
+        self.assertAllClose(
+            left_t_interp(idx, val, rhs_t, M),
+            jnp.swapaxes(W, -1, -2) @ rhs_t,
+            rtol=1e-12,
+            atol=1e-12,
+        )
+
+    def test_on_a_vector(self):
+        self._check((), (), 1)
+
+    def test_on_a_matrix(self):
+        self._check((), (), 4)
+
+    def test_batch_on_a_vector(self):
+        self._check((5,), (5,), 1)
+
+    def test_batch_on_a_matrix(self):
+        self._check((5,), (5,), 4)
+
+    def test_batch_indices_unbatched_rhs(self):
+        self._check((5,), (), 4)
+
+    def test_multibatch_on_a_matrix(self):
+        self._check((2, 5), (2, 5), 4)
+
+
+class TestCholInverse(BaseTestCase):
+    """Reference test/operators/test_chol_linear_operator.py:36-59: inverse()
+    value and gradient vs the dense inverse."""
+
+    def _chol(self):
+        a = jax.random.normal(jax.random.PRNGKey(44), (6, 6), dtype=jnp.float64)
+        K = a @ a.T + 2.0 * jnp.eye(6, dtype=jnp.float64)
+        return jnp.linalg.cholesky(K)
+
+    def test_inverse(self):
+        from linear_operator_tpu.operators import CholLinearOperator, TriangularLinearOperator
+
+        L = self._chol()
+        op = CholLinearOperator(TriangularLinearOperator(L))
+        dense = L @ L.T
+        self.assertAllClose(
+            op.inverse().to_dense(), jnp.linalg.inv(dense), rtol=1e-9, atol=1e-9
+        )
+
+        def f_lazy(Lm):
+            o = CholLinearOperator(TriangularLinearOperator(Lm))
+            return jnp.sum(o.inverse().to_dense())
+
+        def f_dense(Lm):
+            return jnp.sum(jnp.linalg.inv(Lm @ Lm.T))
+
+        ga = jax.grad(f_lazy)(L)
+        ge = jax.grad(f_dense)(L)
+        # only the lower triangle is meaningful (reference compares .tril())
+        self.assertAllClose(jnp.tril(ga), jnp.tril(ge), rtol=1e-7, atol=1e-7)
