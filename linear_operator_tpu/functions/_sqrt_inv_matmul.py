@@ -8,9 +8,11 @@ solves, shared Lanczos).  Backward (reference :52-126 reuses the saved
 shifts/weights): from d(K+s)^{-1} = -(K+s)^{-1} dK (K+s)^{-1},
 
     rhs_bar = K^{-1/2} g              (same quadrature on the cotangent)
-    K_bar   = -sum_j w_j sym((K+s_j)^{-1} g) ((K+s_j)^{-1} rhs)^T
+    K_bar   = -sum_j w_j ((K+s_j)^{-1} g) ((K+s_j)^{-1} rhs)^T
 
-pushed through ONE ``_bilinear_derivative`` over the stacked shifted solves.
+pushed through ONE ``_bilinear_derivative`` over the stacked shifted solves
+(exact per-leaf VJP; equals the reference's symmetrized half-pairs form for
+symmetric-in-leaves parameterizations — see functions/_solve.py).
 """
 
 from __future__ import annotations
@@ -24,12 +26,15 @@ from ..solvers.minres import minres
 from ._solve import _unbroadcast
 
 
-def _ciq_apply(op, rhs, key):
+def _ciq_apply(op, rhs, key, num_quad=None, max_lanczos=None):
     solves, weights = contour_integral_quad(
         op._matmul,
         rhs,
         key=key,
-        max_lanczos_iter=settings.max_lanczos_quadrature_iterations.value(),
+        num_quad=num_quad,
+        max_lanczos_iter=max_lanczos
+        if max_lanczos is not None
+        else settings.max_lanczos_quadrature_iterations.value(),
     )
     w = weights.reshape(-1, *([1] * (solves.ndim - 1)))
     return jnp.sum(w * solves, axis=0), solves, weights
@@ -70,13 +75,20 @@ def sqrt_matmul(op, rhs, *, key=None):
 
 
 def _sqrt_inv_core(op, rhs, key):
+    # Capture quadrature settings ONCE at entry: custom_vjp backwards are
+    # traced lazily by jax.grad, often after the caller's settings context
+    # has exited — re-reading the flags there would desynchronize the
+    # cotangent quadrature from the saved forward solves/weights.
+    num_quad = settings.num_contour_quadrature.value()
+    max_lanczos = settings.max_lanczos_quadrature_iterations.value()
+
     @jax.custom_vjp
     def inner(op, rhs):
-        out, _, _ = _ciq_apply(op, rhs, key)
+        out, _, _ = _ciq_apply(op, rhs, key, num_quad, max_lanczos)
         return out
 
     def fwd(op, rhs):
-        out, solves, weights = _ciq_apply(op, rhs, key)
+        out, solves, weights = _ciq_apply(op, rhs, key, num_quad, max_lanczos)
         return out, (op, solves, weights, rhs.shape)
 
     def bwd(res, g):
@@ -84,29 +96,19 @@ def _sqrt_inv_core(op, rhs, key):
         # shifted solves of the cotangent reuse the same quadrature (the
         # shifts derive from stop_gradient'd eigenvalue estimates, so
         # recomputing them inside the bwd trace yields identical values)
-        g_out, g_solves, _ = _ciq_apply(op, g, key)
+        g_out, g_solves, _ = _ciq_apply(op, g, key, num_quad, max_lanczos)
         rhs_bar = _unbroadcast(g_out, rhs_shape)
         w = weights.reshape(-1, *([1] * (rhs_solves.ndim - 1)))
-        q = rhs_solves.shape[0]
-        # stack the q shifted solve pairs into one bilinear derivative
-        left = jnp.concatenate(
-            [
-                jnp.moveaxis(-w * g_solves * 0.5, 0, -1).reshape(
-                    *g_solves.shape[1:-1], -1
-                ),
-                jnp.moveaxis(-w * rhs_solves * 0.5, 0, -1).reshape(
-                    *rhs_solves.shape[1:-1], -1
-                ),
-            ],
-            axis=-1,
-        )
-        right = jnp.concatenate(
-            [
-                jnp.moveaxis(rhs_solves, 0, -1).reshape(*rhs_solves.shape[1:-1], -1),
-                jnp.moveaxis(g_solves, 0, -1).reshape(*g_solves.shape[1:-1], -1),
-            ],
-            axis=-1,
-        )
+        # K_bar = -sum_j w_j ((K+s_j)^{-T} g)((K+s_j)^{-1} rhs)^T — the exact
+        # VJP, stacked over shifts into ONE bilinear derivative.  (CIQ only
+        # applies to symmetric-valued K, so the MINRES g-solves serve as the
+        # transposed solves.)  The reference's symmetrized half-pairs form
+        # (functions/_sqrt_inv_matmul.py:52-126) computes the same gradient
+        # for symmetric-in-leaves parameterizations at twice the columns;
+        # the exact form is additionally per-leaf correct for asymmetric leaf
+        # roles (see functions/_solve.py:_solve_bwd).
+        left = jnp.moveaxis(-w * g_solves, 0, -1).reshape(*g_solves.shape[1:-1], -1)
+        right = jnp.moveaxis(rhs_solves, 0, -1).reshape(*rhs_solves.shape[1:-1], -1)
         op_bar = op._bilinear_derivative(left, right)
         return op_bar, rhs_bar
 

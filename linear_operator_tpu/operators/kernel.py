@@ -379,6 +379,7 @@ class KernelLinearOperator(LinearOperator):
             and isinstance(row_index, slice)
             and isinstance(col_index, slice)
             and row_index == col_index,
+            matvec_impl=None,  # fused engines may not handle sub-shapes
         )
 
     def _get_indices(self, row_index, col_index, *batch_indices) -> jax.Array:
@@ -422,10 +423,13 @@ class KernelLinearOperator(LinearOperator):
         (reference :263-378 re-invokes the covar closure on sub-data)."""
         if self.num_outputs_per_input != (1, 1):
             return super()._select_rows(idx)
+        # matvec_impl/_closure_impl dropped: fused engines may carry shape
+        # assumptions a gathered subset breaks; blocked path is the fallback.
         return _pytree.replace(
             self,
             x1=self.x1[..., idx, :],
             symmetric=False,
+            matvec_impl=None,
             matvec_closure_impl=None,
         )
 
@@ -436,6 +440,7 @@ class KernelLinearOperator(LinearOperator):
             self,
             x2=self.x2[..., idx, :],
             symmetric=False,
+            matvec_impl=None,
             matvec_closure_impl=None,
         )
 

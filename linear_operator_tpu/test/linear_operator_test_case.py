@@ -71,14 +71,21 @@ class RectangularLinearOperatorTestCase(BaseTestCase):
 
     def _grad_check(
         self, op, fn_lazy, fn_dense, name="grad", tol_key="grad",
-        scale_invariant=False,
+        scale_invariant=False, symmetrize_square_leaves=False,
     ):
         """Compare d fn_lazy(op) / d leaves against d fn_dense(dense(op)).
 
         ``scale_invariant`` normalizes each leaf gradient by its max magnitude
         before comparing — used for stochastic (SLQ) gradients whose Monte
         Carlo error scales with the gradient magnitude.
-        """
+
+        ``symmetrize_square_leaves`` projects square-matrix leaf gradients to
+        their symmetric part before comparing.  Needed when ``fn_dense`` goes
+        through ``jnp.linalg.eigh``, whose VJP is defined only on the
+        symmetric subspace (it reads one triangle), while the lazy side's
+        custom VJPs are exact unconstrained gradients: for symmetric-valued
+        leaves the two agree exactly on symmetric perturbations — the only
+        directions a PSD parameterization can realize."""
         leaves, treedef = jax.tree_util.tree_flatten(op)
 
         def f(leaves_):
@@ -94,6 +101,13 @@ class RectangularLinearOperatorTestCase(BaseTestCase):
         for i, (ga, ge) in enumerate(zip(grads_actual, grads_expected)):
             if not jnp.issubdtype(jnp.asarray(leaves[i]).dtype, jnp.inexact):
                 continue  # integer leaves (indices, permutations) have no grads
+            if (
+                symmetrize_square_leaves
+                and ga.ndim >= 2
+                and ga.shape[-1] == ga.shape[-2]
+            ):
+                ga = 0.5 * (ga + jnp.swapaxes(ga, -1, -2))
+                ge = 0.5 * (ge + jnp.swapaxes(ge, -1, -2))
             if scale_invariant:
                 scale = jnp.maximum(jnp.max(jnp.abs(ge)), 1e-12)
                 ga, ge = ga / scale, ge / scale
@@ -204,6 +218,10 @@ class RectangularLinearOperatorTestCase(BaseTestCase):
         self.assertAllClose((op * 3.0).to_dense(), dense * 3.0, **self.tolerances["matmul"])
         self.assertAllClose((op / 2.0).to_dense(), dense / 2.0, **self.tolerances["matmul"])
         self.assertAllClose((-op).to_dense(), -dense, **self.tolerances["matmul"])
+        # negative constants too (reference test_constant_mul_neg)
+        self.assertAllClose(
+            (op * -1.7).to_dense(), dense * -1.7, **self.tolerances["matmul"]
+        )
 
     def test_sub(self):
         op = self.create_linear_op()
@@ -425,6 +443,16 @@ class LinearOperatorTestCase(RectangularLinearOperatorTestCase):
         self.assertAllClose(
             op.diagonal(),
             jnp.diagonal(dense, axis1=-2, axis2=-1),
+            **self.tolerances["matmul"],
+        )
+
+    def test_add_jitter(self):
+        # reference harness test_add_jitter (linear_operator_test_case.py)
+        op = self.create_linear_op()
+        dense = self.evaluate_linear_op(op)
+        eye = jnp.eye(op.shape[-1], dtype=op.dtype)
+        self.assertAllClose(
+            op.add_jitter(0.4).to_dense(), dense + 0.4 * eye,
             **self.tolerances["matmul"],
         )
 
@@ -791,6 +819,55 @@ class LinearOperatorTestCase(RectangularLinearOperatorTestCase):
             block,
             **self.tolerances["root_decomposition"],
         )
+
+    def test_sqrt_inv_matmul_grad(self):
+        """Gradient of K^{-1/2} rhs: the CIQ custom VJP must be the exact
+        gradient of the (converged) quadrature forward.  Checked as a
+        central finite difference along a random leaf direction — a dense
+        eigh reference would impose eigh's symmetrized-cotangent convention,
+        which is undefined per-leaf for operators whose leaves enter K
+        asymmetrically (interp left/right values, kernel x1/x2).  The
+        reference backprops sqrt_inv_matmul against torch autograd the same
+        way in spirit (test :1155-1220; torch never observes per-leaf splits
+        because aliased roles share one tensor)."""
+        op = self.create_linear_op()
+        if op.batch_shape:
+            return  # reference also skips batched sqrt_inv grads (:1157)
+        rhs = self._rand_rhs(op, ncols=2)
+        leaves, treedef = jax.tree_util.tree_flatten(op)
+
+        def f(leaves_):
+            o = jax.tree_util.tree_unflatten(treedef, leaves_)
+            with settings.minres_tolerance(1e-13), settings.num_contour_quadrature(31):
+                return jnp.sum(o.sqrt_inv_matmul(rhs))
+
+        grads = jax.grad(f, allow_int=True)(leaves)
+        key = self.key
+        tangent = []
+        for leaf in leaves:
+            leaf = jnp.asarray(leaf)
+            if jnp.issubdtype(leaf.dtype, jnp.inexact):
+                key, sub = jax.random.split(key)
+                tangent.append(jax.random.normal(sub, leaf.shape, leaf.dtype))
+            else:
+                tangent.append(jnp.zeros_like(leaf))
+        eps = 1e-5
+
+        def shift(l, t, sign):
+            l = jnp.asarray(l)
+            if not jnp.issubdtype(l.dtype, jnp.inexact):
+                return l  # integer leaves (indices) stay exact
+            return l + sign * eps * t
+
+        plus = [shift(l, t, +1) for l, t in zip(leaves, tangent)]
+        minus = [shift(l, t, -1) for l, t in zip(leaves, tangent)]
+        fd = (f(plus) - f(minus)) / (2 * eps)
+        dot = sum(
+            jnp.vdot(g, t)
+            for g, t in zip(grads, tangent)
+            if jnp.issubdtype(jnp.asarray(g).dtype, jnp.inexact)
+        )
+        self.assertAllClose(dot, fd, **self.tolerances["sqrt_inv_matmul"])
 
     def test_sqrt_inv_matmul(self):
         """K^{-1/2} rhs via contour-integral quadrature (reference

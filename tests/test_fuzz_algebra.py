@@ -47,9 +47,74 @@ def _psd_dense(rng, n):
     return a @ a.T + 0.5 * jnp.eye(n, dtype=DTYPE)
 
 
+def _rbf_noise_kernel_leaf(rng, n):
+    """RBF kernel operator + noise diagonal (PSD; exercises the lazy-kernel
+    engine inside arbitrary compositions, incl. its param pytree grads)."""
+    from linear_operator_tpu.operators.kernel import KernelLinearOperator, rbf_covar
+
+    x = jnp.asarray(rng.standard_normal((n, 2)), DTYPE)
+    op = KernelLinearOperator(
+        x,
+        x,
+        {
+            "lengthscale": jnp.asarray(rng.uniform(0.7, 1.5), DTYPE),
+            "outputscale": jnp.asarray(rng.uniform(0.5, 1.5), DTYPE),
+        },
+        covar_func=rbf_covar,
+        symmetric=True,
+    )
+    return op.add_diagonal(jnp.asarray(rng.uniform(0.3, 1.0), DTYPE))
+
+
+def _nystrom_linop_covar(x1, x2, lengthscale, inducing_points):
+    """Covar closure returning a lazy MatmulLinearOperator (module-level so
+    the operators pickle)."""
+    from linear_operator_tpu.operators import MatmulLinearOperator
+    from linear_operator_tpu.operators.kernel import rbf_covar
+
+    one = jnp.ones((), x1.dtype)
+    K_zz = rbf_covar(inducing_points, inducing_points, lengthscale, one)
+    K_zz = K_zz + 1e-8 * jnp.eye(K_zz.shape[-1], dtype=K_zz.dtype)
+    L = jnp.linalg.cholesky(K_zz)
+
+    def tri(B):
+        # broadcast the unbatched factor against batched covar blocks (the
+        # diagonal path calls the closure with n batched into a leading dim)
+        Lb = jnp.broadcast_to(L, (*B.shape[:-2], *L.shape[-2:]))
+        return jax.scipy.linalg.solve_triangular(Lb, B, lower=True)
+
+    A = tri(rbf_covar(inducing_points, x1, lengthscale, one))
+    B = tri(rbf_covar(inducing_points, x2, lengthscale, one))
+    return MatmulLinearOperator(jnp.swapaxes(A, -1, -2), B)
+
+
+def _nystrom_kernel_leaf(rng, n):
+    """Kernel operator whose covar closure returns a LinearOperator
+    (round-4 capability), plus noise so the leaf is PD."""
+    from linear_operator_tpu.operators.kernel import KernelLinearOperator
+
+    x = jnp.asarray(rng.standard_normal((n, 2)), DTYPE)
+    z = jnp.asarray(rng.standard_normal((max(n, 4), 2)), DTYPE)
+    op = KernelLinearOperator(
+        x,
+        x,
+        {
+            "lengthscale": jnp.asarray(rng.uniform(0.8, 1.4), DTYPE),
+            "inducing_points": z,
+        },
+        covar_func=_nystrom_linop_covar,
+        nonbatch_dims=(("lengthscale", 0), ("inducing_points", 2)),
+    )
+    return op.add_diagonal(jnp.asarray(rng.uniform(0.4, 1.0), DTYPE))
+
+
 def _psd_leaf(rng, key, n):
     """A random PSD leaf operator of size n."""
-    choice = rng.integers(0, 6)
+    choice = rng.integers(0, 8)
+    if choice == 6:
+        return _rbf_noise_kernel_leaf(rng, n)
+    if choice == 7:
+        return _nystrom_kernel_leaf(rng, n)
     if choice == 0:
         return DenseLinearOperator(_psd_dense(rng, n))
     if choice == 1:
