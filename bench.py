@@ -320,12 +320,46 @@ def bench_sharded(n=8192) -> None:
     _emit("sharded_mll_step", float(solves_per_s), "solves/s")
 
 
+def bench_posterior(n=100_000, d=3, m=64, block_rows=8192) -> None:
+    """Config 3c (serving path): GP posterior mean + variance at m query
+    points, N=1e5 train set.  ONE batched CG over [y | k_star^T] — the m+1
+    rhs columns ride the 128-lane MXU pad (BASELINE.md probe-sweep table),
+    so prediction costs ~one MLL-sized solve rather than m+1 of them."""
+    from linear_operator_tpu import settings
+    from linear_operator_tpu.models import ExactGPRegression
+
+    model = ExactGPRegression(block_rows=block_rows)
+    kx, ky, ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = jax.random.normal(kx, (n, d), dtype=jnp.float32)
+    y = jnp.sin(3.0 * x[:, 0]) + 0.1 * jax.random.normal(ky, (n,), dtype=jnp.float32)
+    x_star = jax.random.normal(ks, (m, d), dtype=jnp.float32)
+    params = model.init_params(d)
+
+    def predict(params, x, y, x_star):
+        with settings.max_cholesky_size(0), settings.max_cg_iterations(100), \
+             settings.cg_tolerance(1.0), settings.preconditioner_mode("nystrom"), \
+             settings.max_preconditioner_size(400), \
+             settings.min_preconditioning_size(2000):
+            mean, var = model.posterior(params, x, y, x_star)
+        return jnp.sum(mean) + jnp.sum(var)
+
+    fn = jax.jit(predict)
+    float(fn(params, x, y, x_star))  # compile + warm (host-transfer fence)
+    n_runs = 3
+    t0 = time.perf_counter()
+    for _ in range(n_runs):
+        float(fn(params, x, y, x_star))
+    dt = (time.perf_counter() - t0) / n_runs
+    _emit("gp_posterior_n100k_m64", 1.0 / dt, "predictions/s")
+
+
 def main():
     if "--all" in sys.argv[1:]:
         bench_woodbury_10m()
         bench_batched_dense()
         bench_mll()
         bench_mll_grad()
+        bench_posterior()
         bench_kron_toeplitz()
         bench_ski()
         bench_ciq_sampling()

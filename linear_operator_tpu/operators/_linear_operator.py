@@ -225,6 +225,48 @@ class LinearOperator:
         """TPU-native half precision (no reference analog)."""
         return self.astype(jnp.bfloat16)
 
+    def type(self, dtype=None):
+        """Reference ``type`` (:2692-2725): with an argument, cast (alias of
+        ``astype``); without, return the operator's dtype."""
+        if dtype is None:
+            return self.dtype
+        return self.astype(dtype)
+
+    def to(self, dtype_or_device) -> "LinearOperator":
+        """Reference ``to`` (:2606-2631): a dtype casts every floating leaf;
+        a ``jax.Device`` or ``jax.sharding.Sharding`` moves the whole pytree
+        via ``jax.device_put`` (the TPU-native device story — shardings ARE
+        the multi-device placement API here)."""
+        if isinstance(dtype_or_device, (jax.Device, jax.sharding.Sharding)):
+            return jax.device_put(self, dtype_or_device)
+        return self.astype(dtype_or_device)
+
+    @property
+    def device(self):
+        """Device of the first array leaf (reference ``device``)."""
+        leaves = jax.tree_util.tree_leaves(self)
+        devs = getattr(leaves[0], "devices", None)
+        return next(iter(devs())) if devs else None
+
+    def cpu(self) -> "LinearOperator":
+        """Move all leaves to host CPU (reference ``cpu``, :2606-2631)."""
+        return jax.device_put(self, jax.devices("cpu")[0])
+
+    def cuda(self, device=None) -> "LinearOperator":
+        """Reference ``cuda`` compatibility shim: places the operator on the
+        default accelerator (``jax.devices()[0]`` — a TPU here, a GPU under a
+        CUDA jaxlib).  Prefer ``to(device_or_sharding)``."""
+        return jax.device_put(
+            self, jax.devices()[device] if isinstance(device, int) else jax.devices()[0]
+        )
+
+    def requires_grad_(self, value: bool = True) -> "LinearOperator":
+        """Reference API shim (:2117-2126): JAX differentiates functionally
+        (``jax.grad`` w.r.t. whichever leaves you choose), so there is no
+        per-tensor grad flag to set; returns self unchanged.  Use ``detach``
+        to stop gradients through an operator."""
+        return self
+
     # ------------------------------------------------------------------
     # Default derived primitives
     # ------------------------------------------------------------------

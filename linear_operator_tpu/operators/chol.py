@@ -22,9 +22,17 @@ class CholLinearOperator(RootLinearOperator):
         if not isinstance(self.root, TriangularLinearOperator):
             # Accept a raw triangular array like the reference (with a
             # DeprecationWarning, chol_linear_operator.py:32-44); concrete
-            # arrays only — a tracer's triangularity is data-dependent.
+            # arrays only — a tracer's triangularity is data-dependent.  The
+            # check runs HOST-side (one bulk transfer, numpy reductions): an
+            # eager tril/all + scalar fetch over the tunneled TPU backend
+            # can stall (see CLAUDE.md environment notes).
+            import numpy as np
+
             root = self.root
-            if isinstance(root, jax.Array) and not isinstance(root, jax.core.Tracer):
+            if (
+                isinstance(root, (jax.Array, np.ndarray))
+                and not isinstance(root, jax.core.Tracer)
+            ):
                 import warnings
 
                 warnings.warn(
@@ -32,17 +40,21 @@ class CholLinearOperator(RootLinearOperator):
                     "TriangularLinearOperator; pass one explicitly.",
                     DeprecationWarning,
                 )
-                if bool(jnp.all(jnp.tril(root) == root)):
-                    object.__setattr__(
-                        self, "root", TriangularLinearOperator(root, upper=False)
+                host = np.asarray(root)
+                if np.all(np.tril(host) == host):
+                    upper = False
+                elif np.all(np.triu(host) == host):
+                    upper = True
+                else:
+                    raise ValueError(
+                        "chol must be either lower or upper triangular"
                     )
-                    return
-                if bool(jnp.all(jnp.triu(root) == root)):
-                    object.__setattr__(
-                        self, "root", TriangularLinearOperator(root, upper=True)
-                    )
-                    return
-                raise ValueError("chol must be either lower or upper triangular")
+                object.__setattr__(
+                    self,
+                    "root",
+                    TriangularLinearOperator(jnp.asarray(root), upper=upper),
+                )
+                return
             raise TypeError("CholLinearOperator requires a TriangularLinearOperator root")
 
     # -- direct solves (reference :70-88) ----------------------------------

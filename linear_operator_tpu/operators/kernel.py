@@ -33,9 +33,16 @@ from ._linear_operator import LinearOperator
 
 def _covar_matmul(kb, rhs: jax.Array) -> jax.Array:
     """K-block @ rhs where the covar closure may return a dense array or a
-    LinearOperator (reference allows both — kernel_linear_operator.py:55-56)."""
+    LinearOperator (reference allows both — kernel_linear_operator.py:55-56).
+
+    Both branches contract at >= HIGH precision: the TPU default single-pass
+    bf16 product injects ~1e-2 mat-vec noise that stalls CG (see
+    ``KernelLinearOperator._matmul``); the operator branch gets the same
+    guarantee via the scoped default-matmul-precision config, since its
+    internal dots use the ambient default."""
     if isinstance(kb, LinearOperator):
-        return kb.matmul(rhs)
+        with jax.default_matmul_precision("high"):
+            return kb.matmul(rhs)
     return jnp.matmul(kb, rhs, precision=jax.lax.Precision.HIGH)
 
 
@@ -391,15 +398,12 @@ class KernelLinearOperator(LinearOperator):
         x1, x2 = self._broadcast_data() if batch_indices else (self.x1, self.x2)
         x1 = x1[(*batch_indices, data_row, slice(None))]  # (*idx, d)
         x2 = x2[(*batch_indices, data_col, slice(None))]
-        params = {}
-        for name, val in self.params.items():
-            k = self._nonbatch(name)
-            if batch_indices:
-                nonbatch = jnp.shape(val)[max(0, jnp.ndim(val) - k) :] if k else ()
-                bval = jnp.broadcast_to(val, (*self._batch_shape(), *nonbatch))
-                params[name] = bval[tuple(batch_indices)]
-            else:
-                params[name] = val
+        # pointwise indexing keeps the param's non-batch dims whole, so the
+        # trailing no-op slices of _index_param are exactly right here too
+        params = {
+            name: self._index_param(name, val, batch_indices)
+            for name, val in self.params.items()
+        }
         vals = _covar_dense(
             self.covar_func(
                 x1[..., None, :],

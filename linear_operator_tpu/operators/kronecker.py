@@ -273,7 +273,13 @@ class KroneckerProductLinearOperator(LinearOperator):
         return super().__add__(other)
 
     def _expand_batch(self, batch_shape):
-        return type(self)(tuple(f._expand_batch(batch_shape) for f in self.operators))
+        # replace() keeps subclass static fields (Triangular's ``upper``)
+        from .._pytree import replace
+
+        return replace(
+            self,
+            operators=tuple(f._expand_batch(batch_shape) for f in self.operators),
+        )
 
     def _get_indices(self, row_index, col_index, *batch_indices):
         # index (i, j) factors as mixed-radix digits over (n_i, m_i)

@@ -50,9 +50,18 @@ class SumLinearOperator(LinearOperator):
             out = out + self._term_mm(op, rhs, True)
         return out
 
+    def _has_broadcast_terms(self) -> bool:
+        return any(
+            tuple(op.matrix_shape) != tuple(self.matrix_shape)
+            for op in self.operators
+        )
+
     def _matmul_closure(self):
         # Compose term closures so per-solve setup (e.g. kernel K-caching)
         # survives wrapping in K + noise*I etc.
+        if self._has_broadcast_terms():
+            # degenerate broadcast terms route through the aware _matmul
+            return self._matmul
         closures = [op._matmul_closure() for op in self.operators]
 
         def mm(rhs: jax.Array) -> jax.Array:
@@ -71,6 +80,10 @@ class SumLinearOperator(LinearOperator):
         ``jax.grad`` of the summed ``_matmul``."""
         from .._pytree import replace, tree_map_leaves
 
+        if self._has_broadcast_terms():
+            # per-term bilinear derivatives assume matching matrix dims;
+            # the base jax.grad of the broadcast-aware _matmul is exact
+            return super()._bilinear_derivative(left_vecs, right_vecs)
         terms = tuple(
             op._bilinear_derivative(left_vecs, right_vecs) for op in self.operators
         )
@@ -131,6 +144,12 @@ class SumLinearOperator(LinearOperator):
         )
 
     def _getitem(self, row_index, col_index, *batch_indices):
+        if self._has_broadcast_terms():
+            # indexing a size-1 broadcast dim term-wise would mis-slice it;
+            # take the dense fallback (LinearOperator._getitem)
+            return LinearOperator._getitem(
+                self, row_index, col_index, *batch_indices
+            )
         return SumLinearOperator(
             tuple(
                 op._getitem(row_index, col_index, *batch_indices)
@@ -139,6 +158,10 @@ class SumLinearOperator(LinearOperator):
         )
 
     def _get_indices(self, row_index, col_index, *batch_indices):
+        if self._has_broadcast_terms():
+            return LinearOperator._get_indices(
+                self, row_index, col_index, *batch_indices
+            )
         out = self.operators[0]._get_indices(row_index, col_index, *batch_indices)
         for op in self.operators[1:]:
             out = out + op._get_indices(row_index, col_index, *batch_indices)

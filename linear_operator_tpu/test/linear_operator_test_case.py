@@ -71,7 +71,7 @@ class RectangularLinearOperatorTestCase(BaseTestCase):
 
     def _grad_check(
         self, op, fn_lazy, fn_dense, name="grad", tol_key="grad",
-        scale_invariant=False, symmetrize_square_leaves=False,
+        scale_invariant=False,
     ):
         """Compare d fn_lazy(op) / d leaves against d fn_dense(dense(op)).
 
@@ -79,13 +79,12 @@ class RectangularLinearOperatorTestCase(BaseTestCase):
         before comparing — used for stochastic (SLQ) gradients whose Monte
         Carlo error scales with the gradient magnitude.
 
-        ``symmetrize_square_leaves`` projects square-matrix leaf gradients to
-        their symmetric part before comparing.  Needed when ``fn_dense`` goes
-        through ``jnp.linalg.eigh``, whose VJP is defined only on the
-        symmetric subspace (it reads one triangle), while the lazy side's
-        custom VJPs are exact unconstrained gradients: for symmetric-valued
-        leaves the two agree exactly on symmetric perturbations — the only
-        directions a PSD parameterization can realize."""
+        fn_dense must avoid ``jnp.linalg.eigh``: its VJP is defined only on
+        the symmetric subspace (it reads one triangle), so its per-leaf
+        gradients are incomparable to exact unconstrained VJPs whenever
+        leaves enter K asymmetrically (kernel x1/x2, interp left/right) —
+        use solve/slogdet-based dense references, or a finite-difference
+        check of the lazy function itself (test_sqrt_inv_matmul_grad)."""
         leaves, treedef = jax.tree_util.tree_flatten(op)
 
         def f(leaves_):
@@ -101,13 +100,6 @@ class RectangularLinearOperatorTestCase(BaseTestCase):
         for i, (ga, ge) in enumerate(zip(grads_actual, grads_expected)):
             if not jnp.issubdtype(jnp.asarray(leaves[i]).dtype, jnp.inexact):
                 continue  # integer leaves (indices, permutations) have no grads
-            if (
-                symmetrize_square_leaves
-                and ga.ndim >= 2
-                and ga.shape[-1] == ga.shape[-2]
-            ):
-                ga = 0.5 * (ga + jnp.swapaxes(ga, -1, -2))
-                ge = 0.5 * (ge + jnp.swapaxes(ge, -1, -2))
             if scale_invariant:
                 scale = jnp.maximum(jnp.max(jnp.abs(ge)), 1e-12)
                 ga, ge = ga / scale, ge / scale
@@ -838,10 +830,13 @@ class LinearOperatorTestCase(RectangularLinearOperatorTestCase):
 
         def f(leaves_):
             o = jax.tree_util.tree_unflatten(treedef, leaves_)
-            with settings.minres_tolerance(1e-13), settings.num_contour_quadrature(31):
-                return jnp.sum(o.sqrt_inv_matmul(rhs))
+            return jnp.sum(o.sqrt_inv_matmul(rhs))
 
-        grads = jax.grad(f, allow_int=True)(leaves)
+        # settings AROUND jax.grad, not inside f: the custom_vjp backward is
+        # traced after f's body exits (docs/settings.md, tracing pitfall), so
+        # an inner context would leave the backward MINRES at defaults.
+        with settings.minres_tolerance(1e-13), settings.num_contour_quadrature(31):
+            grads = jax.grad(f, allow_int=True)(leaves)
         key = self.key
         tangent = []
         for leaf in leaves:
@@ -861,7 +856,8 @@ class LinearOperatorTestCase(RectangularLinearOperatorTestCase):
 
         plus = [shift(l, t, +1) for l, t in zip(leaves, tangent)]
         minus = [shift(l, t, -1) for l, t in zip(leaves, tangent)]
-        fd = (f(plus) - f(minus)) / (2 * eps)
+        with settings.minres_tolerance(1e-13), settings.num_contour_quadrature(31):
+            fd = (f(plus) - f(minus)) / (2 * eps)
         dot = sum(
             jnp.vdot(g, t)
             for g, t in zip(grads, tangent)

@@ -311,3 +311,87 @@ class TestCholInverse(BaseTestCase):
         ge = jax.grad(f_dense)(L)
         # only the lower triangle is meaningful (reference compares .tril())
         self.assertAllClose(jnp.tril(ga), jnp.tril(ge), rtol=1e-7, atol=1e-7)
+
+
+class TestSumBroadcastSolvePaths(BaseTestCase):
+    """Round-4 review findings: broadcast-matrix-dim sums must survive the
+    solver closures, the solve VJP's bilinear derivative, and getitem."""
+
+    def _op(self):
+        col = jax.random.normal(self.key, (6, 1), dtype=jnp.float64)
+        full = jax.random.normal(self.key, (6, 6), dtype=jnp.float64)
+        s = to_linear_operator(col) + full
+        dense = col + full
+        return s, dense, col, full
+
+    def test_matmul_closure_and_solve_grad(self):
+        s, dense, col, full = self._op()
+        rhs = jax.random.normal(self.key, (6, 2), dtype=jnp.float64)
+        self.assertAllClose(s._matmul_closure()(rhs), dense @ rhs, rtol=1e-12, atol=1e-12)
+        # PD symmetrized system so solve converges; grads must not crash
+        spd = s @ s.mT + to_linear_operator(3.0 * jnp.eye(6, dtype=jnp.float64))
+
+        def f(c):
+            op = (to_linear_operator(c) + full)
+            op = op @ op.mT + to_linear_operator(3.0 * jnp.eye(6, dtype=jnp.float64))
+            return jnp.sum(op.solve(rhs))
+
+        g = jax.grad(f)(col)
+        d = dense @ dense.T + 3.0 * jnp.eye(6)
+        ge = jax.grad(
+            lambda c: jnp.sum(jnp.linalg.solve((c + full) @ (c + full).T + 3.0 * jnp.eye(6), rhs))
+        )(col)
+        self.assertAllClose(g, ge, rtol=1e-8, atol=1e-8)
+        self.assertAllClose(spd.solve(rhs), jnp.linalg.solve(d, rhs), rtol=1e-8, atol=1e-8)
+
+    def test_getitem_and_get_indices(self):
+        s, dense, _, _ = self._op()
+        sub = s[1:4, 2:5]
+        sub = sub.to_dense() if hasattr(sub, "to_dense") else sub
+        self.assertAllClose(sub, dense[1:4, 2:5], rtol=1e-12, atol=1e-12)
+        i = jnp.asarray([0, 2, 5])
+        j = jnp.asarray([1, 1, 3])
+        self.assertAllClose(s[i, j], dense[i, j], rtol=1e-12, atol=1e-12)
+
+
+class TestKronTriangularExpandKeepsUpper(BaseTestCase):
+    """Round-4 review finding: _expand_batch must preserve the ``upper``
+    static field of KroneckerProductTriangularLinearOperator."""
+
+    def test_expand_batch_upper(self):
+        from linear_operator_tpu.operators import (
+            KroneckerProductTriangularLinearOperator,
+            TriangularLinearOperator,
+        )
+
+        r1 = jnp.triu(jax.random.normal(self.key, (2, 2), dtype=jnp.float64)) + 2 * jnp.eye(2)
+        r2 = jnp.triu(jax.random.normal(self.key, (3, 3), dtype=jnp.float64)) + 2 * jnp.eye(3)
+        kt = KroneckerProductTriangularLinearOperator(
+            TriangularLinearOperator(r1, upper=True),
+            TriangularLinearOperator(r2, upper=True),
+            upper=True,
+        )
+        expanded = kt._expand_batch((4,))
+        self.assertTrue(expanded.upper)
+        self.assertAllClose(
+            expanded.to_dense(),
+            jnp.broadcast_to(jnp.kron(r1, r2), (4, 6, 6)),
+            rtol=1e-12,
+            atol=1e-12,
+        )
+
+
+class TestTorchDeviceDtypeAPI(BaseTestCase):
+    """Reference ``to``/``type``/``cpu``/``cuda``/``requires_grad_``
+    (reference _linear_operator.py:2606-2725, 2117-2126): JAX-native shims."""
+
+    def test_to_type_cpu_requires_grad(self):
+        op = DenseLinearOperator(jnp.eye(3, dtype=jnp.float64))
+        self.assertEqual(op.type(), jnp.float64)
+        self.assertEqual(op.to(jnp.float32).dtype, jnp.float32)
+        self.assertEqual(op.type(jnp.float32).dtype, jnp.float32)
+        moved = op.to(jax.devices("cpu")[0])
+        self.assertEqual(moved.device.platform, "cpu")
+        self.assertEqual(op.cpu().device.platform, "cpu")
+        self.assertIs(op.requires_grad_(True), op)
+        self.assertAllClose(op.cuda().to_dense(), jnp.eye(3), rtol=0, atol=0)
