@@ -30,9 +30,19 @@ def inv_quad(op, rhs: jax.Array, reduce_inv_quad: bool = True, *, key=None):
 
 def pivoted_cholesky(op, rank: int, error_tol=None, return_pivots: bool = False):
     """Partial pivoted Cholesky L (*b, n, rank) (reference
-    functions/_pivoted_cholesky.py:12-147)."""
-    from ..solvers.pivoted_cholesky import pivoted_cholesky_with_pivots
+    functions/_pivoted_cholesky.py:12-147).
 
+    Honors ``settings.pivoted_cholesky_block_size`` (the TPU-native blocked
+    sweep, forward-only) when set and pivots are not requested; otherwise the
+    strict sequential greedy (reference pivot order, differentiable)."""
+    from .. import settings
+    from ..solvers.pivoted_cholesky import (
+        pivoted_cholesky as _solver_pivoted_cholesky,
+        pivoted_cholesky_with_pivots,
+    )
+
+    if not return_pivots and (settings.pivoted_cholesky_block_size.value() or 0) > 1:
+        return _solver_pivoted_cholesky(op, rank, error_tol)
     L, pivots = pivoted_cholesky_with_pivots(op, rank, error_tol)
     if return_pivots:
         return L, pivots

@@ -98,6 +98,8 @@ def contour_integral_quad(
     max_lanczos_iter: int = 20,
     key: jax.Array | None = None,
     inverse: bool = True,
+    preconditioner: Callable[[jax.Array], jax.Array] | None = None,
+    sqrt_premultiply: Callable[[jax.Array], jax.Array] | None = None,
 ):
     """K^{±1/2} rhs via shifted MINRES x quadrature (reference :14-156).
 
@@ -105,6 +107,15 @@ def contour_integral_quad(
     sum_j weights_j * solves_j.  With ``inverse=False`` each solve gets one
     extra K-matmul so the weighted sum is K^{+1/2} rhs instead (reference
     :153-154: ``if not inverse: solves = linear_op._matmul(solves)``).
+
+    Preconditioning (reference :44-48, :141-150): with ``preconditioner``
+    (z -> P^{-1} z) and ``sqrt_premultiply`` (r -> P^{1/2} r, typically a
+    nested CIQ on the preconditioner operator), the quadrature runs over the
+    WHITENED spectrum of P^{-1/2} K P^{-1/2} and each solve is
+    (K + s_j P)^{-1} P^{1/2} rhs.  The weighted sum is then the
+    non-symmetric root application M rhs with M M^T = K^{-1} exactly
+    (P^{-1/2} Ktilde^{-1/2}), which is what sampling/whitening need — a far
+    better-conditioned quadrature when P ~= K.
     """
     if num_quad is None:
         num_quad = settings.num_contour_quadrature.value()
@@ -113,15 +124,36 @@ def contour_integral_quad(
     if key is None:
         key = jax.random.PRNGKey(0)
 
-    # --- eigenvalue range estimate via Lanczos (reference :56-101) --------
+    if sqrt_premultiply is not None:
+        rhs = sqrt_premultiply(rhs)
+
+    # --- eigenvalue range estimate (reference :56-101) --------------------
     n = rhs.shape[-2]
     batch = rhs.shape[:-2]
     k_lanczos = min(max_lanczos_iter, n)
     init = jax.random.normal(key, (*batch, n), dtype=rhs.dtype)
-    _, T = lanczos_tridiag(matmul_closure, k_lanczos, init_vecs=init)
-    ritz = jnp.linalg.eigvalsh(T)
-    # identity-padded Ritz values are exactly 1.0; they only matter if they
-    # fall outside the true range, where the safety factors absorb them
+    if preconditioner is None:
+        _, T = lanczos_tridiag(matmul_closure, k_lanczos, init_vecs=init)
+        ritz = jnp.linalg.eigvalsh(T)
+    else:
+        # preconditioned range: Ritz values of the whitened pencil from the
+        # preconditioned-CG tridiagonal (reference :68-78 passes the
+        # preconditioner into the linear_cg eigenvalue estimate)
+        from .linear_cg import linear_cg
+
+        cg_res = linear_cg(
+            matmul_closure,
+            init[..., None],
+            n_tridiag=1,
+            max_iter=k_lanczos,
+            max_tridiag_iter=k_lanczos,
+            tolerance=1e-5,
+            preconditioner=preconditioner,
+        )
+        ritz = jnp.linalg.eigvalsh(cg_res.t_mats[..., 0, :, :])
+    # dead-iteration pads carry the last live Ritz scale (solvers/lanczos.py
+    # breakdown convention), so they sit inside the hull; the safety factors
+    # absorb residual estimation error
     max_eig = jnp.max(ritz, axis=-1) * 1.2
     min_eig = jnp.maximum(jnp.min(ritz, axis=-1), 1e-7 * jnp.max(ritz, axis=-1)) / 1.2
     # global (batch-reduced) range keeps shifts shared across the batch like
@@ -137,6 +169,7 @@ def contour_integral_quad(
         shifts=shifts.astype(rhs.dtype),
         max_iter=settings.max_cg_iterations.value(),
         tolerance=settings.minres_tolerance.value(),
+        preconditioner=preconditioner,
     )
     if not inverse:
         # one extra matmul per shift: sum_j w_j K (K + s_j)^{-1} rhs = K^{1/2} rhs

@@ -8,10 +8,14 @@ vectors) is a pair of skinny matmuls that map straight onto the MXU.
 
 Breakdown handling: when beta collapses (invariant subspace found, reference
 early-termination :150-155) the recurrence would divide by ~0; we freeze the
-iteration via masking — subsequent alpha/beta entries pad the tridiagonal
-matrix with identity (diag 1 / off 0), which downstream eigendecompositions
-treat as spurious eigenvalue-1 pairs with zero quadrature weight (same
-convention as solvers/linear_cg.py).
+iteration via masking.  The breakdown test is SCALE-RELATIVE (beta <=
+tol * running max(|alpha|, beta) — an absolute threshold would kill the
+recurrence after two steps on a well-conditioned operator scaled by 1e-5),
+and dead steps pad the tridiagonal diagonal with the last live alpha (off 0):
+the padded block decouples with ZERO first-component eigenvector weight, so
+SLQ quadrature ignores it exactly, while its eigenvalues stay inside the
+true spectral hull — eigenvalue-RANGE consumers (CIQ shift selection) are
+not polluted the way an identity pad (eigenvalue 1) would at small scales.
 """
 
 from __future__ import annotations
@@ -35,7 +39,7 @@ def lanczos_tridiag(
     num_iter: int,
     *,
     init_vecs: jax.Array,
-    tol: float = 1e-5,
+    tol: float = 1e-6,
 ) -> LanczosResult:
     """Run ``num_iter`` Lanczos steps of the operator given by the mat-vec
     closure, started from ``init_vecs`` (*b, n, 1-or-more columns handled by
@@ -64,18 +68,32 @@ def lanczos_tridiag(
     alphas0 = jnp.zeros((*batch, k), dtype=compute_dtype)
     betas0 = jnp.zeros((*batch, k), dtype=compute_dtype)
     alive0 = jnp.ones(batch, dtype=bool)
+    scale0 = jnp.zeros(batch, dtype=compute_dtype)  # running max(|alpha|, beta)
+    pad0 = jnp.zeros(batch, dtype=compute_dtype)  # last live alpha (dead pad)
 
     def reorth(Q, w, upto_mask):
         # Subtract projections onto the first columns of Q (mask selects the
         # valid columns). Two passes of classical Gram-Schmidt
-        # (reference lanczos.py:117-148).
+        # (reference lanczos.py:117-148).  HIGHEST precision: default TPU
+        # matmuls are single-pass bf16, which would leave ~1e-3 residual
+        # non-orthogonality — defeating the reorthogonalization (same rule
+        # as pivoted_cholesky's downdates).
         for _ in range(2):
-            coeffs = jnp.einsum("...nk,...n->...k", Q, w) * upto_mask
-            w = w - jnp.einsum("...nk,...k->...n", Q, coeffs)
+            coeffs = (
+                jnp.einsum(
+                    "...nk,...n->...k", Q, w,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                * upto_mask
+            )
+            w = w - jnp.einsum(
+                "...nk,...k->...n", Q, coeffs,
+                precision=jax.lax.Precision.HIGHEST,
+            )
         return w
 
     def body(i, carry):
-        Q, alphas, betas, alive = carry
+        Q, alphas, betas, alive, scale, pad_alpha = carry
         qi = Q[..., :, i]
         w = mm(qi)
         alpha = jnp.sum(qi * w, axis=-1)
@@ -84,9 +102,13 @@ def lanczos_tridiag(
         w = reorth(Q, w, col_mask)
         beta = jnp.linalg.norm(w, axis=-1)
 
-        alphas = alphas.at[..., i].set(jnp.where(alive, alpha, jnp.ones_like(alpha)))
+        pad_alpha = jnp.where(alive, alpha, pad_alpha)
+        alphas = alphas.at[..., i].set(pad_alpha)
 
-        next_alive = alive & (beta > tol)
+        # scale-relative breakdown: an invariant subspace shows as beta
+        # vanishing RELATIVE to the recurrence's magnitude, not absolutely
+        scale = jnp.maximum(scale, jnp.maximum(jnp.abs(alpha), beta))
+        next_alive = alive & (beta > tol * scale)
         safe_beta = jnp.where(next_alive, beta, 1.0)
         q_next = jnp.where(next_alive[..., None], w / safe_beta[..., None], 0.0)
 
@@ -97,9 +119,11 @@ def lanczos_tridiag(
 
         if_last = i >= k - 1
         Q, betas = lax.cond(if_last, lambda Q, b: (Q, b), write_next, Q, betas)
-        return Q, alphas, betas, next_alive
+        return Q, alphas, betas, next_alive, scale, pad_alpha
 
-    Q, alphas, betas, _ = lax.fori_loop(0, k, body, (Q0, alphas0, betas0, alive0))
+    Q, alphas, betas, _, _, _ = lax.fori_loop(
+        0, k, body, (Q0, alphas0, betas0, alive0, scale0, pad0)
+    )
 
     T = _build_tridiag(alphas, betas[..., : k - 1] if k > 1 else betas[..., :0])
     return LanczosResult(Q, T)

@@ -167,7 +167,15 @@ def linear_cg(
         # while ANY batch element is unconverged (reference
         # utils/linear_cg.py:277-295 — a single global mean would let one
         # easy batch element terminate the loop for all of them).
-        unconverged = jnp.any(state.mean_resid >= tolerance) | (state.k < min_iter)
+        # When EVERY column of every batch element is already below
+        # stop_updating_after, all alphas are masked to zero and further
+        # iterations are pure wasted mat-vecs — exit regardless of min_iter
+        # (the reference skips the loop outright for this case at entry,
+        # linear_cg.py:205-207; we also allow the mid-loop exit).
+        all_frozen = jnp.all(state.has_converged)
+        unconverged = (
+            jnp.any(state.mean_resid >= tolerance) | (state.k < min_iter)
+        ) & ~all_frozen
         tridiag_active = (n_tridiag > 0) & (state.k < n_tridiag_iter)
         return (state.k < max_iter) & (unconverged | tridiag_active)
 
@@ -298,13 +306,8 @@ def _tridiag_to_dense(diag: jax.Array, off: jax.Array) -> jax.Array:
     """Build dense symmetric tridiagonal matrices from diagonals.
 
     diag: (..., m); off: (..., m-1)  ->  (..., m, m)
+    (shared with the Lanczos T assembly — one implementation)
     """
-    m = diag.shape[-1]
-    T = jnp.zeros((*diag.shape, m), dtype=diag.dtype)
-    idx = jnp.arange(m)
-    T = T.at[..., idx, idx].set(diag)
-    if m > 1:
-        i = jnp.arange(m - 1)
-        T = T.at[..., i, i + 1].set(off)
-        T = T.at[..., i + 1, i].set(off)
-    return T
+    from .lanczos import _build_tridiag
+
+    return _build_tridiag(diag, off)

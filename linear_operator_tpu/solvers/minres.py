@@ -22,8 +22,9 @@ from .. import settings
 
 class MinresState(NamedTuple):
     k: jax.Array
-    v_prev: jax.Array  # (*b, n, t) Lanczos v_{k-1}
-    v_cur: jax.Array  # (*b, n, t) Lanczos v_k
+    z_prev: jax.Array  # (*b, n, t) unpreconditioned Lanczos z_{k-1}
+    z_cur: jax.Array  # (*b, n, t) unpreconditioned Lanczos z_k
+    q_cur: jax.Array  # (*b, n, t) preconditioned basis q_k = P^{-1} z_k (q == z when unpreconditioned)
     beta: jax.Array  # (*b, 1, t) current beta_k
     x: jax.Array  # (s, *b, n, t) per-shift solutions
     w0: jax.Array  # (s, *b, n, t) search direction k-1
@@ -43,9 +44,17 @@ def minres(
     shifts: jax.Array | None = None,
     max_iter: int | None = None,
     tolerance: float | None = None,
+    preconditioner: Callable[[jax.Array], jax.Array] | None = None,
 ) -> jax.Array:
     """Returns solutions with shape (num_shifts, *b, n, t) (or (*b, n, t) when
-    ``shifts`` is None -> single zero shift, squeezed)."""
+    ``shifts`` is None -> single zero shift, squeezed).
+
+    ``preconditioner`` (z -> P^{-1} z, SPD) runs the reference's
+    preconditioned Lanczos recurrence (utils/minres.py:38-39, 75, 144-150):
+    the basis pair (z, q = P^{-1} z) with beta = sqrt(z . q), so each shifted
+    system solved is (K + shift P) x = b — exactly the reference semantics
+    (and the CIQ paper's preconditioned msMINRES).  With P = I this reduces
+    to the plain recurrence bit-for-bit."""
     if tolerance is None:
         tolerance = settings.minres_tolerance.value()
     if max_iter is None:
@@ -78,13 +87,29 @@ def minres(
     b_norm = jnp.where(b_is_zero, 1.0, b_norm)
     b_hat = b / b_norm
 
+    if preconditioner is None:
+        prec = lambda x: x
+    else:
+        prec = lambda x: preconditioner(x.astype(rhs.dtype)).astype(compute_dtype)
+
+    # generalized-Lanczos init: beta0 = sqrt(z . P^{-1} z); the rhs enters
+    # the Krylov recursion with weight beta0 (reference minres.py:75-85,
+    # scale_prev = beta_prev) — 1 exactly in the unpreconditioned case
+    q0_raw = prec(b_hat)
+    beta0 = jnp.sqrt(
+        jnp.clip(jnp.sum(b_hat * q0_raw, axis=-2, keepdims=True), 1e-30, None)
+    )
+    z0 = b_hat / beta0
+    q0 = q0_raw / beta0
+
     ones = jnp.ones((s, *batch, 1, t), dtype=compute_dtype)
     zeros_v = jnp.zeros((s, *batch, n, t), dtype=compute_dtype)
 
     state0 = MinresState(
         k=jnp.zeros((), jnp.int32),
-        v_prev=jnp.zeros_like(b_hat),
-        v_cur=b_hat,
+        z_prev=jnp.zeros_like(b_hat),
+        z_cur=z0,
+        q_cur=q0,
         beta=jnp.zeros((*batch, 1, t), dtype=compute_dtype),
         x=zeros_v,
         w0=zeros_v,
@@ -93,9 +118,7 @@ def minres(
         s0=ones * 0.0,
         c1=ones,
         s1=ones * 0.0,
-        eta=jnp.broadcast_to(
-            jnp.ones((*batch, 1, t), compute_dtype), (s, *batch, 1, t)
-        ),
+        eta=jnp.broadcast_to(beta0, (s, *batch, 1, t)),
         mean_rel=jnp.asarray(1.0, compute_dtype),
     )
 
@@ -105,13 +128,19 @@ def minres(
         return (st.k < max_iter) & (st.mean_rel >= tolerance)
 
     def body(st: MinresState):
-        # --- shared Lanczos step on K (shift added per-shift in QR) -------
-        p = mm(st.v_cur)
-        alpha = jnp.sum(st.v_cur * p, axis=-2, keepdims=True)  # (*b,1,t)
-        p = p - alpha * st.v_cur - st.beta * st.v_prev
-        beta_next = jnp.linalg.norm(p, axis=-2, keepdims=True)
+        # --- shared (preconditioned) Lanczos step on K --------------------
+        # (shift added per-shift in QR; P = I gives the plain recurrence)
+        p = mm(st.q_cur)
+        alpha = jnp.sum(st.q_cur * p, axis=-2, keepdims=True)  # (*b,1,t)
+        p = p - alpha * st.z_cur - st.beta * st.z_prev
+        q_raw = prec(p)
+        beta_next = jnp.sqrt(
+            jnp.clip(jnp.sum(p * q_raw, axis=-2, keepdims=True), 0.0, None)
+        )
         safe_beta = jnp.where(beta_next < 1e-30, 1.0, beta_next)
-        v_next = jnp.where(beta_next < 1e-30, 0.0, p / safe_beta)
+        dead = beta_next < 1e-30
+        z_next = jnp.where(dead, 0.0, p / safe_beta)
+        q_next = jnp.where(dead, 0.0, q_raw / safe_beta)
 
         # --- per-shift Givens QR of the shifted tridiagonal ----------------
         alpha_s = alpha[None] + shifts_exp  # (s,*b,1,t)
@@ -124,15 +153,18 @@ def minres(
         c_new = delta / safe_rho1
         s_new = beta_next[None] / safe_rho1
 
-        w = (st.v_cur[None] - rho3 * st.w1 - rho2 * st.w0) / safe_rho1
+        w = (st.q_cur[None] - rho3 * st.w1 - rho2 * st.w0) / safe_rho1
         x = st.x + c_new * st.eta * w
         eta = -s_new * st.eta
 
-        rel = jnp.mean(jnp.abs(eta))
+        # eta starts at beta0 (the P-norm scale); normalize the residual
+        # proxy so `tolerance` stays a RELATIVE threshold either way
+        rel = jnp.mean(jnp.abs(eta) / beta0)
         return MinresState(
             k=st.k + 1,
-            v_prev=st.v_cur,
-            v_cur=v_next,
+            z_prev=st.z_cur,
+            z_cur=z_next,
+            q_cur=q_next,
             beta=beta_next,
             x=x,
             w0=w,

@@ -202,7 +202,6 @@ def _blocked_pivoted_cholesky(
 
     def sweep_body(carry):
         L, d, count, sweep = carry
-        d_global = jnp.max(d)
         _, cand = lax.top_k(d, nc)
         cand = cand.astype(jnp.int32)
 
@@ -214,6 +213,14 @@ def _blocked_pivoted_cholesky(
         # dp > 0 paired with a fresh near-zero Gram diagonal collapses the
         # triangular solve (M[j, j] = S[c,c]/sqrt(dp) must equal sqrt(dp)).
         dS = jnp.diagonal(S)
+        # The sweep scale comes from the FRESH pool too: comparing fresh dp
+        # against the max of the stale tracked d can reject every candidate
+        # near convergence (fresh ~0 vs tracked ~1e-7), making the sweep a
+        # permanent no-op.  Fresh-vs-fresh restores the ">= 1 pivot per
+        # sweep" invariant; syncing the tracked diagonal at pool coordinates
+        # guarantees sweep_cond's termination test sees real residuals.
+        d_global = jnp.max(dS)
+        d = d.at[cand].set(dS)
 
         # In-block greedy selection on the small Gram.  T rows are factor
         # rows restricted to pool coordinates; sel records pivot slots.

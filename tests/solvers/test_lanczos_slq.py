@@ -178,3 +178,63 @@ class TestBlockedPivotedCholesky(BaseTestCase):
         L = pivoted_cholesky(op, 8, error_tol=0.0, block_size=4)
         self.assertTrue(bool(jnp.all(jnp.isfinite(L))))
         self.assertAllClose(L @ L.T, K, rtol=1e-4, atol=1e-4)
+
+
+class TestLanczosSmallScale(BaseTestCase):
+    """Round-4 review fix: the breakdown threshold is scale-relative — an
+    absolute 1e-5 killed the recurrence after 2 steps on a well-conditioned
+    operator scaled by 1e-5 (small-outputscale kernels during hyperparameter
+    optimization)."""
+
+    def test_tiny_scale_full_accuracy(self):
+        from linear_operator_tpu.solvers.lanczos import lanczos_tridiag
+
+        a = jax.random.normal(self.key, (50, 50), jnp.float64)
+        K = (a @ a.T + 10 * jnp.eye(50)) * 1e-5
+        v = jax.random.normal(self.key, (50,), jnp.float64)
+        Q, T = lanczos_tridiag(lambda x: K @ x, 20, init_vecs=v)
+        rel = jnp.linalg.norm(Q.T @ K @ Q - T) / jnp.linalg.norm(T)
+        self.assertLess(float(rel), 1e-10)
+        # T's spectrum stays inside the true hull (no identity pollution)
+        self.assertLessEqual(
+            float(jnp.linalg.eigvalsh(T).max()),
+            float(jnp.linalg.eigvalsh(K).max()) * (1 + 1e-10),
+        )
+
+    def test_breakdown_pads_stay_in_hull(self):
+        from linear_operator_tpu.solvers.lanczos import lanczos_tridiag
+
+        u = jax.random.normal(self.key, (50, 3), jnp.float64)
+        K = u @ u.T  # rank 3: true breakdown at step 3
+        v = jax.random.normal(self.key, (50,), jnp.float64)
+        Q, T = lanczos_tridiag(lambda x: K @ x, 10, init_vecs=v)
+        self.assertLessEqual(
+            float(jnp.linalg.eigvalsh(T).max()),
+            float(jnp.linalg.eigvalsh(K).max()) * (1 + 1e-10),
+        )
+        # dead Lanczos columns are exactly zero
+        self.assertEqual(float(jnp.abs(Q[:, 4:]).max()), 0.0)
+
+
+class TestBlockedPivCholConvergence(BaseTestCase):
+    """Round-4 review fix: the blocked sweep's accept threshold compares
+    fresh-vs-fresh residual diagonals (stale tracked d could reject every
+    candidate near convergence, no-op'ing every remaining sweep)."""
+
+    def test_f32_smooth_kernel_near_full_depletion(self):
+        import numpy as np
+
+        x = jnp.asarray(np.linspace(0, 4, 300), jnp.float32)
+        K = jnp.exp(-0.5 * (x[:, None] - x[None, :]) ** 2) + 1e-4 * jnp.eye(
+            300, dtype=jnp.float32
+        )
+        op = DenseLinearOperator(K)
+        # rank far beyond the numerical rank of a smooth RBF: late sweeps
+        # operate in the f32 cancellation regime the fix targets
+        L = pivoted_cholesky(op, rank=120, error_tol=0.0, block_size=16)
+        err = jnp.abs(L @ L.T - K).max()
+        self.assertLess(float(err), 5e-3)
+        strict = pivoted_cholesky(op, rank=120, error_tol=0.0)
+        err_strict = jnp.abs(strict @ strict.T - K).max()
+        # blocked quality within 10x of strict greedy at matched rank
+        self.assertLess(float(err), max(10 * float(err_strict), 1e-3))

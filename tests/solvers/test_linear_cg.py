@@ -112,3 +112,40 @@ class TestLinearCG(BaseTestCase):
         self.assertEqual(res.solution.dtype, jnp.bfloat16)
         x64 = jnp.linalg.solve(K.astype(jnp.float64), b.astype(jnp.float64))
         self.assertAllClose(res.solution.astype(jnp.float64), x64, rtol=0.15, atol=0.15)
+
+
+class TestCGEarlyExitAllFrozen(BaseTestCase):
+    """Round-4 review fix: when every column is below stop_updating_after,
+    CG exits without burning min_iter masked mat-vecs (the reference skips
+    the loop outright for this case, linear_cg.py:205-207)."""
+
+    def test_zero_rhs_runs_zero_iterations(self):
+        from linear_operator_tpu.solvers.linear_cg import linear_cg
+
+        calls = {"n": 0}
+        K = jnp.eye(8, dtype=jnp.float64)
+
+        def mm(v):
+            calls["n"] += 1
+            return K @ v
+
+        res = linear_cg(mm, jnp.zeros((8, 2), jnp.float64), max_iter=50)
+        self.assertAllClose(res.solution, jnp.zeros((8, 2)), rtol=0, atol=0)
+        # mm traced at most a few times for setup; the while_loop body
+        # renders as one traced call regardless of trip count, so instead
+        # assert via iteration counter
+        self.assertEqual(int(res.num_iters), 0)
+
+    def test_tridiag_still_runs_min_iters(self):
+        from linear_operator_tpu.solvers.linear_cg import linear_cg
+
+        a = jax.random.normal(self.key, (16, 16), jnp.float64)
+        K = a @ a.T + 8 * jnp.eye(16)
+        res = linear_cg(
+            lambda v: K @ v,
+            jnp.zeros((16, 2), jnp.float64),
+            n_tridiag=1,
+            max_iter=50,
+            max_tridiag_iter=12,
+        )
+        self.assertGreaterEqual(int(res.num_iters), 12)
