@@ -284,9 +284,15 @@ def bench_ciq_sampling(n=32_768, d=3, num_samples=16) -> None:
 
     def step(params, x, key):
         K = model.train_operator(params, x)
+        # round 4: preconditioned msMINRES-CIQ (reference utils/minres.py:17,
+        # contour_integral_quad.py:44-48).  Nystrom-400 cuts the shifted-MINRES
+        # iteration count ~3x at this shape AND tightens the sampling
+        # covariance (scripts/profile_ciq_precond.py: 30.4 -> 86.7 samples/s;
+        # the default rank-15 pivoted preconditioner is a no-op here).
         with settings.ciq_samples(True), settings.minres_tolerance(1e-3), \
              settings.num_contour_quadrature(15), \
-             settings.min_preconditioning_size(10**9):
+             settings.preconditioner_mode("nystrom"), \
+             settings.max_preconditioner_size(400):
             s = K.zero_mean_mvn_samples(num_samples, key=key)
         return jnp.sum(s * s)
 

@@ -66,6 +66,14 @@ def inv_quad_logdet(
 
     squeeze = inv_quad_rhs is not None and inv_quad_rhs.ndim == 1
     rhs = inv_quad_rhs[:, None] if squeeze else inv_quad_rhs
+
+    def _out(iq, ld):
+        iq, ld = _finish(op, iq, ld, rhs, reduce_inv_quad)
+        if squeeze and not reduce_inv_quad:
+            # 1-D rhs: drop the synthetic trailing column (beyond-reference:
+            # the reference's Cholesky path crashes on vector rhs outright)
+            iq = iq[..., 0]
+        return iq, ld
     if settings.debug.on() and rhs is not None and rhs.shape[-2] != op.shape[-1]:
         raise RuntimeError(
             f"rhs shape {rhs.shape} incompatible with operator {op.shape}"
@@ -74,13 +82,13 @@ def inv_quad_logdet(
     structural = op._inv_quad_logdet_structure(rhs, logdet)
     if structural is not None:
         iq, ld = structural
-        return _finish(op, iq, ld, rhs, reduce_inv_quad)
+        return _out(iq, ld)
 
     n = op.shape[-1]
     if settings.use_cholesky_for_log_prob(n):
         chol = op._cholesky_impl(upper=False)
         iq, ld = chol_iqld(chol, rhs, logdet, op.batch_shape, op.dtype)
-        return _finish(op, iq, ld, rhs, reduce_inv_quad)
+        return _out(iq, ld)
 
     # ---- stochastic CG + SLQ path ---------------------------------------
     if num_probes is None:
@@ -121,7 +129,7 @@ def inv_quad_logdet(
         ld = ld_est + logdet_p
     else:
         ld = jnp.zeros(op.batch_shape, dtype=op.dtype)
-    return _finish(op, iq, ld, rhs, reduce_inv_quad)
+    return _out(iq, ld)
 
 
 def chol_iqld(chol, rhs, logdet, batch_shape, dtype):
@@ -144,7 +152,9 @@ def _finish(op, iq, ld, rhs, reduce_inv_quad):
         iq = jnp.zeros(op.batch_shape, dtype=op.dtype)
     elif reduce_inv_quad:
         iq = jnp.sum(iq, axis=-1)
-    ld = jnp.broadcast_to(ld, op.batch_shape)
+    # ld carries the JOINT batch when the rhs batch is broader than the
+    # operator's (the solves run at the joint batch); never shrink it
+    ld = jnp.broadcast_to(ld, jnp.broadcast_shapes(op.batch_shape, jnp.shape(ld)))
     return iq, ld
 
 
@@ -171,12 +181,15 @@ def _stochastic_forward(op, rhs, probes):
     n = op.shape[-1]
     m = probes.shape[-1]
     if rhs is not None and m > 0:
-        rhs_b = jnp.broadcast_to(
-            rhs,
-            (*jnp.broadcast_shapes(op.batch_shape, rhs.shape[:-2]), *rhs.shape[-2:]),
+        joint = jnp.broadcast_shapes(
+            op.batch_shape, rhs.shape[:-2], probes.shape[:-2]
         )
+        rhs_b = jnp.broadcast_to(rhs, (*joint, *rhs.shape[-2:]))
+        # probes carry the OPERATOR batch; an rhs with broader batch dims
+        # (valid everywhere else) must broadcast the probes up too
+        probes_b = jnp.broadcast_to(probes, (*joint, *probes.shape[-2:]))
         stacked = jnp.concatenate(
-            [maybe_shard_probes(probes), maybe_shard_probes(rhs_b)], axis=-1
+            [maybe_shard_probes(probes_b), maybe_shard_probes(rhs_b)], axis=-1
         )
     elif rhs is not None:
         stacked = rhs
@@ -184,6 +197,9 @@ def _stochastic_forward(op, rhs, probes):
         stacked = probes
 
     stacked = maybe_shard_probes(stacked)
+    # the caller's probe draw built the same preconditioner; under jit the
+    # two _preconditioner() subgraphs are identical and XLA CSE merges them
+    # (rebuilding here keeps the custom_vjp signature to pure arrays)
     closure, _, _ = op.detach()._preconditioner()
     result = op._solve_via_cg(stacked, preconditioner=closure, n_tridiag=m)
     solves = result.solution
@@ -243,9 +259,15 @@ def _stochastic_bwd(res, cotangents):
 
     lefts, rights = [], []
     if m > 0:
+        # probe_solves may carry a JOINT batch broader than the probes (rhs
+        # batch > operator batch); broadcast the op-batch pieces up so the
+        # left/right stacks concatenate
+        joint = probe_solves.shape[:-2]
         coef = ld_bar[..., None, None] * (norms**2) / m  # (*b, 1, m)
         lefts.append(probe_solves * coef)
-        rights.append(precond_probes)
+        rights.append(
+            jnp.broadcast_to(precond_probes, (*joint, *precond_probes.shape[-2:]))
+        )
     if rhs_solves is not None and rhs_solves.shape[-1] > 0:
         w = iq_bar[..., None, :]  # (*b, 1, t)
         lefts.append(-rhs_solves * w)

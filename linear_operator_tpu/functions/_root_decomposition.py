@@ -25,7 +25,9 @@ from .. import settings
 from ..solvers import lanczos as _lanczos_module
 
 
-def _lanczos_root_impl(op, key, k: int, init: jax.Array | None = None):
+def _lanczos_root_impl(
+    op, key, k: int, init: jax.Array | None = None, want_inverse: bool = True
+):
     n = op.shape[-1]
     if init is None:
         init = jax.random.normal(key, (*op.batch_shape, n), dtype=op.dtype)
@@ -40,6 +42,8 @@ def _lanczos_root_impl(op, key, k: int, init: jax.Array | None = None):
     evals = jnp.maximum(evals, 0.0)
     sqrt_evals = jnp.sqrt(evals)
     root = Q @ (evecs * sqrt_evals[..., None, :])
+    if not want_inverse:
+        return root, None
     inv_sqrt = jnp.where(evals > 1e-12, 1.0 / jnp.maximum(sqrt_evals, 1e-12), 0.0)
     inv_root = Q @ (evecs * inv_sqrt[..., None, :])
     return root, inv_root
@@ -48,36 +52,59 @@ def _lanczos_root_impl(op, key, k: int, init: jax.Array | None = None):
 def _lanczos_root(op, key, need_inverse: bool, init: jax.Array | None = None):
     k = min(settings.max_root_decomposition_size.value(), op.shape[-1])
 
-    @jax.custom_vjp
-    def inner(op):
-        return _lanczos_root_impl(op, key, k, init)
+    # NOTE: custom_vjp cotangents are ZERO ARRAYS, never None, so the branch
+    # structure must be decided statically by ``need_inverse`` — a runtime
+    # "is not None" check would always take both branches, computing the
+    # S S^T S correction and doubling the bilinear columns for a provably
+    # zero contribution when the inverse root is unused.
+    if need_inverse:
 
-    def fwd(op):
-        root, inv_root = _lanczos_root_impl(op, key, k, init)
-        return (root, inv_root), (op, root, inv_root)
+        @jax.custom_vjp
+        def inner(op):
+            return _lanczos_root_impl(op, key, k, init)
 
-    def bwd(res, cotangents):
-        op, root, inv_root = res
-        root_bar, inv_bar = cotangents
-        # K_bar = 1/4 (R_bar S^T + S R_bar^T) - 1/4 (P S_bar^T + S_bar P^T)
-        # with P = S S^T S (scalar check: k = r^2 -> k_bar = r_bar/(2r)).
-        lefts, rights = [], []
-        if root_bar is not None:
-            lefts += [0.25 * root_bar, 0.25 * inv_root]
-            rights += [inv_root, root_bar]
-        if inv_bar is not None:
+        def fwd(op):
+            root, inv_root = _lanczos_root_impl(op, key, k, init)
+            return (root, inv_root), (op, root, inv_root)
+
+        def bwd(res, cotangents):
+            op, root, inv_root = res
+            root_bar, inv_bar = cotangents
+            # K_bar = 1/4 (R_bar S^T + S R_bar^T) - 1/4 (P S_bar^T + S_bar P^T)
+            # with P = S S^T S (scalar check: k = r^2 -> k_bar = r_bar/(2r)).
             p = inv_root @ (jnp.swapaxes(inv_root, -1, -2) @ inv_root)
-            lefts += [-0.25 * p, -0.25 * inv_bar]
-            rights += [inv_bar, p]
-        left = jnp.concatenate(lefts, axis=-1)
-        right = jnp.concatenate(rights, axis=-1)
+            left = jnp.concatenate(
+                [0.25 * root_bar, 0.25 * inv_root, -0.25 * p, -0.25 * inv_bar],
+                axis=-1,
+            )
+            right = jnp.concatenate(
+                [inv_root, root_bar, inv_bar, p], axis=-1
+            )
+            return (op._bilinear_derivative(left, right),)
+
+        inner.defvjp(fwd, bwd)
+        return inner(op)
+
+    @jax.custom_vjp
+    def inner_root(op):
+        root, _ = _lanczos_root_impl(op, key, k, init, want_inverse=False)
+        return root
+
+    def fwd_root(op):
+        # the root cotangent formula needs the inverse root, so the FWD
+        # residuals still compute it — but the primal (no-grad) path and the
+        # backward's bilinear width skip the inverse-branch entirely
+        root, inv_root = _lanczos_root_impl(op, key, k, init)
+        return root, (op, inv_root)
+
+    def bwd_root(res, root_bar):
+        op, inv_root = res
+        left = jnp.concatenate([0.25 * root_bar, 0.25 * inv_root], axis=-1)
+        right = jnp.concatenate([inv_root, root_bar], axis=-1)
         return (op._bilinear_derivative(left, right),)
 
-    inner.defvjp(fwd, bwd)
-    root, inv_root = inner(op)
-    if not need_inverse:
-        return root, None
-    return root, inv_root
+    inner_root.defvjp(fwd_root, bwd_root)
+    return inner_root(op), None
 
 
 def root_decomposition(op, method: str | None = None, *, key: jax.Array | None = None):

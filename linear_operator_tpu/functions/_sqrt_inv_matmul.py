@@ -94,6 +94,13 @@ def sqrt_inv_matmul(op, rhs, lhs=None, *, key=None):
     squeeze = rhs.ndim == 1
     if squeeze:
         rhs = rhs[:, None]
+    # broadcast an unbatched rhs up to the operator batch (the CIQ Lanczos
+    # init derives its batch from the rhs; the bwd's _unbroadcast reduces
+    # the cotangent back to the caller's shape)
+    rhs = jnp.broadcast_to(
+        rhs,
+        (*jnp.broadcast_shapes(op.batch_shape, rhs.shape[:-2]), *rhs.shape[-2:]),
+    )
     if key is None:
         key = jax.random.PRNGKey(0)
     out = _sqrt_inv_core(op, rhs, key)
@@ -112,6 +119,10 @@ def sqrt_matmul(op, rhs, *, key=None):
     """K^{1/2} rhs = K @ (K^{-1/2} rhs) (reference zero_mean_mvn_samples CIQ
     path, _linear_operator.py:2769-2776)."""
     rhs = jnp.asarray(rhs)
+    rhs = jnp.broadcast_to(
+        rhs,
+        (*jnp.broadcast_shapes(op.batch_shape, rhs.shape[:-2]), *rhs.shape[-2:]),
+    )
     if key is None:
         key = jax.random.PRNGKey(0)
     half_inv = _sqrt_inv_core(op, rhs, key)

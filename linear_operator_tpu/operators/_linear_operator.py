@@ -243,8 +243,11 @@ class LinearOperator:
 
     @property
     def device(self):
-        """Device of the first array leaf (reference ``device``)."""
+        """Device of the first array leaf (reference ``device``); None for
+        leafless operators (Identity/Zero carry only static metadata)."""
         leaves = jax.tree_util.tree_leaves(self)
+        if not leaves:
+            return None
         devs = getattr(leaves[0], "devices", None)
         return next(iter(devs())) if devs else None
 
@@ -1006,6 +1009,15 @@ class LinearOperator:
         dense = jnp.broadcast_to(self.to_dense(), (*batch_shape, *self.matrix_shape))
         return DenseLinearOperator(dense)
 
+    def _expanded_to(self, batch_shape: tuple[int, ...]) -> "LinearOperator":
+        """Self expanded to ``batch_shape`` when its own batch is narrower
+        (identity otherwise).  Composite operators call this on their
+        children before applying batch indices — a child with fewer or
+        singleton batch dims cannot absorb the parent's batch indices."""
+        if tuple(self.batch_shape) == tuple(batch_shape):
+            return self
+        return self._expand_batch(tuple(batch_shape))
+
     def expand(self, *sizes) -> "LinearOperator":
         """(reference ``expand``, :1580-1615)"""
         if len(sizes) == 1 and isinstance(sizes[0], (tuple, list)):
@@ -1080,7 +1092,11 @@ class LinearOperator:
         if len(dims) == 1 and isinstance(dims[0], (tuple, list)):
             dims = tuple(dims[0])
         num_batch = self.ndim - 2
-        dims = tuple(d + num_batch if d < 0 and d >= -self.ndim else d for d in dims)
+        # negative dims normalize over the FULL ndim (reference :1955:
+        # dim + num_dims) — a full-length permutation like (1, 0, -2, -1)
+        # must map -2/-1 onto the matrix positions, not into the batch
+        offset = self.ndim if len(dims) == self.ndim else num_batch
+        dims = tuple(d + offset if d < 0 and d >= -self.ndim else d for d in dims)
         if len(dims) == self.ndim:
             if dims[-2:] != (self.ndim - 2, self.ndim - 1):
                 raise RuntimeError("permute cannot move matrix dims")
@@ -1103,18 +1119,6 @@ class LinearOperator:
         perm = list(range(ndim - 2))
         perm[dim0], perm[dim1] = perm[dim1], perm[dim0]
         return self._permute_batch(*perm)
-
-    def _sum_batch(self, dim: int) -> "LinearOperator":
-        from .sum_batch import SumBatchLinearOperator
-
-        if dim != 0:
-            self = self._permute_batch(
-                *(d for d in range(self.ndim - 2) if d != dim), dim
-            )
-            return SumBatchLinearOperator(self, block_dim=-3)
-        return SumBatchLinearOperator(
-            self._permute_batch(*range(1, self.ndim - 2), 0), block_dim=-3
-        )
 
     def sum(self, dim: int | None = None):
         """Sum over a batch dim -> operator; over all -> scalar array

@@ -43,8 +43,13 @@ def nystrom_factor(op, rank: int) -> jax.Array:
     # _get_indices gather over n*k pairs would lane-pad the gathered points
     # 42x on TPU).
     cols = op._select_cols(idx)._matmul(jnp.eye(k, dtype=op.dtype))  # (*b, n, k)
+    # gather the landmark rows; the index array must match cols' ndim
+    # (take_along_axis requires equal ranks — batched operators otherwise
+    # crash here)
     kmm = jnp.take_along_axis(
-        cols, jnp.broadcast_to(idx[:, None], (idx.shape[0], idx.shape[0])), axis=-2
+        cols,
+        jnp.broadcast_to(idx[:, None], (*cols.shape[:-2], k, k)),
+        axis=-2,
     )  # (*b, k, k)
     kmm = 0.5 * (kmm + jnp.swapaxes(kmm, -1, -2))
     eps = 1e-6 * jnp.mean(jnp.diagonal(kmm, axis1=-2, axis2=-1), axis=-1)

@@ -55,8 +55,13 @@ class CatLinearOperator(LinearOperator):
                 out = piece if out is None else out + piece
                 offset += sz
             return out
-        # batch concat: stack along the batch dim
-        axis = self.cat_dim - 2  # relative to full shape with matrix dims
+        # batch concat: stack along the batch dim.  An rhs missing the
+        # concatenated batch dim, or carrying it at size 1 (broadcast rhs —
+        # valid against every other operator), is broadcast to the joint
+        # batch before per-block slicing.
+        joint = jnp.broadcast_shapes(self.batch_shape, rhs.shape[:-2])
+        if rhs.shape[:-2] != joint:
+            rhs = jnp.broadcast_to(rhs, (*joint, *rhs.shape[-2:]))
         return jnp.concatenate(
             [
                 op._matmul(_slice_batch(rhs, self.cat_dim, off, sz))

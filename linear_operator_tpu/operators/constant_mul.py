@@ -81,16 +81,26 @@ class ConstantMulLinearOperator(LinearOperator):
             c = jnp.broadcast_to(c, batch_shape)
         return ConstantMulLinearOperator(self.base._expand_batch(batch_shape), c)
 
-    def _getitem(self, row_index, col_index, *batch_indices):
+    def _indexed_constant(self, batch_indices):
+        """Constant broadcast to the operator's batch shape before batch
+        indexing (the raw constant may carry fewer/singleton batch dims)."""
         c = self.constant
-        if c.ndim:
-            c = c[tuple(batch_indices)]
+        if c.ndim and batch_indices:
+            c = jnp.broadcast_to(c, self.batch_shape)[tuple(batch_indices)]
+        return c
+
+    def _batch_expanded_base(self):
+        return self.base._expanded_to(self.batch_shape)
+
+    def _getitem(self, row_index, col_index, *batch_indices):
         return ConstantMulLinearOperator(
-            self.base._getitem(row_index, col_index, *batch_indices), c
+            self._batch_expanded_base()._getitem(
+                row_index, col_index, *batch_indices
+            ),
+            self._indexed_constant(batch_indices),
         )
 
     def _get_indices(self, row_index, col_index, *batch_indices):
-        c = self.constant
-        if c.ndim:
-            c = c[tuple(batch_indices)]
-        return c * self.base._get_indices(row_index, col_index, *batch_indices)
+        return self._indexed_constant(batch_indices) * self._batch_expanded_base()._get_indices(
+            row_index, col_index, *batch_indices
+        )

@@ -113,20 +113,62 @@ class InterpolatedLinearOperator(LinearOperator):
         wr_dense = _interp_to_dense(self._right)
         return y @ jnp.swapaxes(wr_dense, -1, -2)
 
+    def _batch_expanded_interp(self):
+        """Interp index/value arrays broadcast to the operator's batch shape
+        (they may carry fewer/singleton batch dims than the joint batch)."""
+        batch = self.batch_shape
+
+        def bx(a):
+            want = (*batch, *a.shape[-2:])
+            return a if a.shape == want else jnp.broadcast_to(a, want)
+
+        return (
+            bx(self.left_indices),
+            bx(self.left_values),
+            bx(self.right_indices),
+            bx(self.right_values),
+        )
+
     def _getitem(self, row_index, col_index, *batch_indices):
+        li_a, lv_a, ri_a, rv_a = (
+            self._batch_expanded_interp()
+            if batch_indices
+            else (
+                self.left_indices,
+                self.left_values,
+                self.right_indices,
+                self.right_values,
+            )
+        )
+        base = self.base
+        if batch_indices and base.batch_shape:
+            # the base's own batch dims must be indexed too
+            base = base._expanded_to(self.batch_shape)._getitem(
+                slice(None), slice(None), *batch_indices
+            )
         return InterpolatedLinearOperator(
-            self.base,
-            self.left_indices[(*batch_indices, row_index, slice(None))],
-            self.left_values[(*batch_indices, row_index, slice(None))],
-            self.right_indices[(*batch_indices, col_index, slice(None))],
-            self.right_values[(*batch_indices, col_index, slice(None))],
+            base,
+            li_a[(*batch_indices, row_index, slice(None))],
+            lv_a[(*batch_indices, row_index, slice(None))],
+            ri_a[(*batch_indices, col_index, slice(None))],
+            rv_a[(*batch_indices, col_index, slice(None))],
         )
 
     def _get_indices(self, row_index, col_index, *batch_indices):
-        li = self.left_indices[(*batch_indices, row_index, slice(None))]
-        lv = self.left_values[(*batch_indices, row_index, slice(None))]
-        ri = self.right_indices[(*batch_indices, col_index, slice(None))]
-        rv = self.right_values[(*batch_indices, col_index, slice(None))]
+        li_a, lv_a, ri_a, rv_a = (
+            self._batch_expanded_interp()
+            if batch_indices
+            else (
+                self.left_indices,
+                self.left_values,
+                self.right_indices,
+                self.right_values,
+            )
+        )
+        li = li_a[(*batch_indices, row_index, slice(None))]
+        lv = lv_a[(*batch_indices, row_index, slice(None))]
+        ri = ri_a[(*batch_indices, col_index, slice(None))]
+        rv = rv_a[(*batch_indices, col_index, slice(None))]
         rows = li[..., :, None]
         cols = ri[..., None, :]
         shape = jnp.broadcast_shapes(rows.shape, cols.shape)
@@ -135,7 +177,14 @@ class InterpolatedLinearOperator(LinearOperator):
         ] if batch_indices and any(jnp.ndim(b) for b in batch_indices) else [
             jnp.broadcast_to(jnp.asarray(b), shape) for b in batch_indices
         ]
-        vals = self.base._get_indices(
+        # the base must carry the joint batch before absorbing batch indices
+        # (a narrower/singleton base batch would be silently mis-gathered)
+        base = (
+            self.base._expanded_to(self.batch_shape)
+            if batch_indices
+            else self.base
+        )
+        vals = base._get_indices(
             jnp.broadcast_to(rows, shape), jnp.broadcast_to(cols, shape), *b_arrs
         )
         w = lv[..., :, None] * rv[..., None, :]
@@ -144,8 +193,19 @@ class InterpolatedLinearOperator(LinearOperator):
 
 def _interp_to_dense(w: InterpolationMatrix) -> jax.Array:
     rows, k = w.indices.shape[-2], w.indices.shape[-1]
-    out = jnp.zeros((*w.indices.shape[:-2], rows, w.grid_size), w.values.dtype)
-    row_ids = jnp.broadcast_to(
-        jnp.arange(rows)[:, None], w.indices.shape[-2:]
+    batch = jnp.broadcast_shapes(w.indices.shape[:-2], w.values.shape[:-2])
+    out = jnp.zeros((*batch, rows, w.grid_size), w.values.dtype)
+    # scatter with EXPLICIT batch iotas: `out.at[..., row_ids, indices]`
+    # would treat a batched indices array as a free broadcast dim (adding
+    # every batch's values into every batch slice) instead of aligning it
+    # with out's batch
+    full = (*batch, rows, k)
+    bidx = []
+    for i, b in enumerate(batch):
+        shape = [1] * (len(batch) + 2)
+        shape[i] = b
+        bidx.append(jnp.broadcast_to(jnp.arange(b).reshape(shape), full))
+    row_ids = jnp.broadcast_to(jnp.arange(rows)[:, None], full)
+    return out.at[(*bidx, row_ids, jnp.broadcast_to(w.indices, full))].add(
+        jnp.broadcast_to(w.values, full)
     )
-    return out.at[..., row_ids, w.indices].add(w.values)

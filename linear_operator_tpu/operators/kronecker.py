@@ -285,9 +285,15 @@ class KroneckerProductLinearOperator(LinearOperator):
         # index (i, j) factors as mixed-radix digits over (n_i, m_i)
         out = None
         row_rem, col_rem = row_index, col_index
-        sizes = [(f.shape[-2], f.shape[-1]) for f in self.operators]
+        # expand factors with fewer/broadcast batch dims to the product's
+        # batch before applying batch indices (the reference expands factor
+        # batches at construction; mixed-batch Kronecker = unbatched task
+        # kernel x batched data kernel is the common multitask layout)
+        batch = self.batch_shape
+        factors = [f._expanded_to(batch) for f in self.operators]
+        sizes = [(f.shape[-2], f.shape[-1]) for f in factors]
         # compute strides
-        for idx, f in enumerate(self.operators):
+        for idx, f in enumerate(factors):
             n_i, m_i = sizes[idx]
             row_stride = np_prod([s[0] for s in sizes[idx + 1:]])
             col_stride = np_prod([s[1] for s in sizes[idx + 1:]])

@@ -23,6 +23,17 @@ from .added_diag import AddedDiagLinearOperator
 from .diag import DiagLinearOperator
 
 
+def _build_cap_chol(U, dinv, precision):
+    """chol(I_r + U^T D^{-1} U) — shared by woodbury_solve_closure and
+    factorize() so the cap formula and its einsum spelling (see the
+    CPU-lowering note in woodbury_solve_closure) live in exactly one place."""
+    r = U.shape[-1]
+    cap = jnp.eye(r, dtype=U.dtype) + jnp.einsum(
+        "...nr,...ns->...rs", dinv[..., :, None] * U, U, precision=precision
+    )  # (*b, r, r); the dinv scaling fuses into the operand read
+    return jnp.linalg.cholesky(cap)
+
+
 def woodbury_solve_closure(
     U: jax.Array,
     diag: jax.Array,
@@ -63,10 +74,7 @@ def woodbury_solve_closure(
     # CPU lowers the explicit (r, n) @ (n, t) transposed GEMV 7x slower
     # (990 ms vs 140 ms per pass at n=1e7), while TPU lowering is identical.
     if cap_chol is None:
-        cap = jnp.eye(r, dtype=U.dtype) + jnp.einsum(
-            "...nr,...ns->...rs", dinv[..., :, None] * U, U, precision=precision
-        )  # (*b, r, r); the dinv scaling fuses into the operand read
-        cap_chol = jnp.linalg.cholesky(cap)
+        cap_chol = _build_cap_chol(U, dinv, precision)
 
     def closure(v: jax.Array) -> jax.Array:
         dv = dinv[..., :, None] * v
@@ -135,14 +143,10 @@ class LowRankRootAddedDiagLinearOperator(AddedDiagLinearOperator):
 
         U = self._root
         dinv = 1.0 / self._diag_op._diagonal()
-        r = U.shape[-1]
-        cap = jnp.eye(r, dtype=U.dtype) + jnp.einsum(
-            "...nr,...ns->...rs",
-            dinv[..., :, None] * U,
-            U,
-            precision=self._exact_precision,
+        return replace(
+            self,
+            cap_chol=_build_cap_chol(U, dinv, self._exact_precision),
         )
-        return replace(self, cap_chol=jnp.linalg.cholesky(cap))
 
     def __post_init__(self):
         from .root import RootLinearOperator

@@ -70,7 +70,13 @@ class MatmulLinearOperator(LinearOperator):
         )
 
     def _getitem(self, row_index, col_index, *batch_indices):
+        # expand factors with fewer/broadcast batch dims to the product's
+        # batch before applying batch indices
+        left, right = self.left, self.right
+        if batch_indices:
+            left = left._expanded_to(self.batch_shape)
+            right = right._expanded_to(self.batch_shape)
         return MatmulLinearOperator(
-            self.left._getitem(row_index, slice(None), *batch_indices),
-            self.right._getitem(slice(None), col_index, *batch_indices),
+            left._getitem(row_index, slice(None), *batch_indices),
+            right._getitem(slice(None), col_index, *batch_indices),
         )

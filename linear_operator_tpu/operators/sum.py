@@ -143,6 +143,11 @@ class SumLinearOperator(LinearOperator):
             tuple(op._expand_batch(batch_shape) for op in self.operators)
         )
 
+    def _batch_expanded_terms(self):
+        """Terms expanded to the sum's batch shape (index-safe: a term with
+        fewer/broadcast batch dims cannot absorb the sum's batch indices)."""
+        return tuple(op._expanded_to(self.batch_shape) for op in self.operators)
+
     def _getitem(self, row_index, col_index, *batch_indices):
         if self._has_broadcast_terms():
             # indexing a size-1 broadcast dim term-wise would mis-slice it;
@@ -153,7 +158,7 @@ class SumLinearOperator(LinearOperator):
         return SumLinearOperator(
             tuple(
                 op._getitem(row_index, col_index, *batch_indices)
-                for op in self.operators
+                for op in self._batch_expanded_terms()
             )
         )
 
@@ -162,8 +167,9 @@ class SumLinearOperator(LinearOperator):
             return LinearOperator._get_indices(
                 self, row_index, col_index, *batch_indices
             )
-        out = self.operators[0]._get_indices(row_index, col_index, *batch_indices)
-        for op in self.operators[1:]:
+        terms = self._batch_expanded_terms()
+        out = terms[0]._get_indices(row_index, col_index, *batch_indices)
+        for op in terms[1:]:
             out = out + op._get_indices(row_index, col_index, *batch_indices)
         return out
 

@@ -167,6 +167,11 @@ class TriangularLinearOperator(LinearOperator):
             isinstance(row_index, slice)
             and isinstance(col_index, slice)
             and row_index == col_index
+            # only forward-step principal submatrices stay triangular: a
+            # negative step reverses rows AND columns, flipping the triangle
+            # (re-wrapping with the same `upper` would silently mask the
+            # surviving half)
+            and (row_index.step is None or row_index.step > 0)
         ):
             # Principal submatrix of a triangular matrix stays triangular.
             return TriangularLinearOperator(inner, upper=self.upper)

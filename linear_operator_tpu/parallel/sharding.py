@@ -50,6 +50,17 @@ def make_mesh(
         data = axes // model
     elif model is None:
         model = axes // data
+    # when the requested axes don't tile n_devices evenly (e.g. data=2,
+    # model=2 on an 8-device host, or probe=3 on 8), use the first
+    # data*model*probe devices instead of crashing in reshape
+    used = data * model * (probe if probe is not None else 1)
+    if used == 0 or used > len(devices):
+        raise ValueError(
+            f"mesh ({data}, {model}"
+            + (f", {probe}" if probe is not None else "")
+            + f") needs {max(used, 1)} devices, have {len(devices)}"
+        )
+    devices = devices[:used]
     if probe is None:
         dev_array = np.asarray(devices).reshape(data, model)
         return Mesh(dev_array, axis_names=("data", "model"))

@@ -83,8 +83,10 @@ def normalize_getitem_index(op, index):
     # Expand Ellipsis FIRST (None entries consume no operator dim, so the
     # fill count must skip them).
     if any(ix is Ellipsis for ix in index):
-        pos = index.index(Ellipsis)
-        if index.count(Ellipsis) > 1:
+        # identity-based scans: tuple.index/.count apply == to every entry,
+        # which is elementwise (ambiguous-truth ValueError) for array indices
+        pos = next(i for i, ix in enumerate(index) if ix is Ellipsis)
+        if sum(1 for ix in index if ix is Ellipsis) > 1:
             raise IndexError("only one Ellipsis allowed")
         n_consuming = sum(
             1 for ix in index if ix is not None and ix is not Ellipsis

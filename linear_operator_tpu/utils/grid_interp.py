@@ -52,11 +52,10 @@ def _plan(sizes: Sequence[int], t: int, n: int, block: int | None):
 
 
 def grid_interp_feasible(sizes: Sequence[int], t: int) -> bool:
-    """Whether the one-hot panel path fits the memory budget at block>=256."""
-    order = sorted(range(len(sizes)), key=lambda d: -sizes[d])
-    rest = 1
-    for d in order[1:]:
-        rest *= sizes[d]
+    """Whether the one-hot panel path fits the memory budget at the minimum
+    block size (shares _plan's ordering/rest computation so the feasibility
+    test can never drift from the actual plan)."""
+    _, rest, _ = _plan(sizes, t, n=256, block=None)
     return 256 * rest * max(t, 1) <= _PANEL_ELEMENTS
 
 

@@ -42,6 +42,14 @@ def left_t_interp(
     indices/values: (*b, n, k); rhs: (*b, n, t) -> (*b, output_dim, t)
     (reference interpolation.py:48-81 builds a sparse summing matrix + dsmm;
     here it is one scatter-add)."""
+    # broadcast to the joint batch like left_interp (a probe-batched rhs may
+    # carry extra leading dims over batched indices)
+    batch = jnp.broadcast_shapes(
+        indices.shape[:-2], values.shape[:-2], rhs.shape[:-2]
+    )
+    indices = jnp.broadcast_to(indices, (*batch, *indices.shape[-2:]))
+    values = jnp.broadcast_to(values, (*batch, *values.shape[-2:]))
+    rhs = jnp.broadcast_to(rhs, (*batch, *rhs.shape[-2:]))
     contrib = values[..., :, :, None] * rhs[..., :, None, :]  # (*b, n, k, t)
     flat_idx = indices.reshape(*indices.shape[:-2], -1)  # (*b, n*k)
     flat_contrib = contrib.reshape(*contrib.shape[:-3], -1, contrib.shape[-1])

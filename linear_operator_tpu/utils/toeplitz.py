@@ -97,12 +97,13 @@ def toeplitz_matmul(
     pad = [(0, 0)] * (tensor.ndim - 2) + [(0, n - 1), (0, 0)]
     x = jnp.pad(tensor, pad)  # (*b, 2n-1, t)
     if jnp.iscomplexobj(tensor) or jnp.iscomplexobj(toeplitz_column):
+        # if EITHER operand is complex, T @ x is genuinely complex — keep it
+        # (dropping .real for mixed real/complex inputs discards the true
+        # imaginary part; the result dtype is the complex promotion)
         out = jnp.fft.ifft(
             jnp.fft.fft(x, axis=-2) * jnp.fft.fft(c_r_rev, axis=-1)[..., :, None],
             axis=-2,
         )
-        if not (jnp.iscomplexobj(tensor) and jnp.iscomplexobj(toeplitz_column)):
-            out = out.real
     else:
         f_x = jnp.fft.rfft(x, axis=-2)
         f_c = jnp.fft.rfft(c_r_rev, axis=-1)[..., :, None]

@@ -67,6 +67,50 @@ class TestInterpolatedLinearOperator(LinearOperatorTestCase):
         return dense + jnp.diag(op.operators[1]._diagonal())
 
 
+class TestInterpolatedLinearOperatorBatch(LinearOperatorTestCase):
+    """Batched interp arrays + batched base: the round-4 `_interp_to_dense`
+    scatter bug (batched indices added into every batch slice) lived below
+    the unbatched-only harness class above."""
+
+    seed = 3
+    should_call_lanczos = True
+
+    def create_linear_op(self):
+        grid, n, k, B = 8, 6, 2, 3
+        base = DenseLinearOperator(_psd(jax.random.PRNGKey(30), B, n=grid))
+        li = jax.random.randint(jax.random.PRNGKey(31), (B, n, k), 0, grid - 1)
+        li = jnp.concatenate([li[..., :1], li[..., :1] + 1], axis=-1)
+        lv = (
+            jnp.abs(
+                jax.random.normal(
+                    jax.random.PRNGKey(32), (B, n, k), dtype=jnp.float64
+                )
+            )
+            + 0.5
+        )
+        return InterpolatedLinearOperator(base, li, lv, li, lv).add_jitter(1.0)
+
+    def evaluate_linear_op(self, op):
+        interp = op.operators[0] if hasattr(op, "operators") else op
+        base = interp.base.to_dense()
+        wl = jnp.stack(
+            [
+                _interp_dense(interp.left_indices[b], interp.left_values[b], 6, 8)
+                for b in range(3)
+            ]
+        )
+        wr = jnp.stack(
+            [
+                _interp_dense(interp.right_indices[b], interp.right_values[b], 6, 8)
+                for b in range(3)
+            ]
+        )
+        dense = wl @ base @ jnp.swapaxes(wr, -1, -2)
+        return dense + jnp.vectorize(jnp.diag, signature="(n)->(n,n)")(
+            op.operators[1]._diagonal()
+        )
+
+
 class TestCatLinearOperatorPSD(LinearOperatorTestCase):
     seed = 1
     should_test_getitem_tensor_index = True

@@ -477,3 +477,259 @@ class TestPreconditionedCIQ(BaseTestCase):
             eps = 1e-6
             fd = (f(d + eps * t) - f(d - eps * t)) / (2 * eps)
         self.assertAllClose(jnp.vdot(g, t), fd, rtol=1e-5, atol=1e-6)
+
+
+class TestOperatorReviewFixes(BaseTestCase):
+    """Round-4 operators-directory review: crashes/wrong values on valid
+    inputs, all reproduced then fixed."""
+
+    def test_triangular_reversed_slice_values(self):
+        from linear_operator_tpu.operators import TriangularLinearOperator
+
+        X = jnp.tril(
+            jax.random.normal(self.key, (4, 4), jnp.float64) + 2 * jnp.eye(4)
+        )
+        tri = TriangularLinearOperator(DenseLinearOperator(X))
+        got = tri[::-1, ::-1]
+        got = got.to_dense() if hasattr(got, "to_dense") else got
+        self.assertAllClose(got, X[::-1, ::-1], rtol=0, atol=0)
+
+    def test_sum_mixed_batch_terms_getitem(self):
+        from linear_operator_tpu.operators import ToeplitzLinearOperator
+
+        d = jax.random.normal(self.key, (3, 4, 4), jnp.float64)
+        col = jnp.exp(-0.5 * jnp.arange(4.0) ** 2)
+        s = DenseLinearOperator(d) + ToeplitzLinearOperator(col)
+        dense = d + s.operators[1].to_dense()
+        sub = s[1]
+        sub = sub.to_dense() if hasattr(sub, "to_dense") else sub
+        self.assertAllClose(sub, dense[1], rtol=1e-12, atol=1e-12)
+        i = jnp.asarray([0, 2])
+        got = s[jnp.asarray([0, 1]), i, i]
+        self.assertAllClose(got, dense[jnp.asarray([0, 1]), i, i], rtol=1e-12, atol=1e-12)
+
+    def test_kronecker_mixed_batch_get_indices(self):
+        from linear_operator_tpu.operators import KroneckerProductLinearOperator
+
+        a = jax.random.normal(self.key, (3, 2, 2), jnp.float64)
+        b = jax.random.normal(self.key, (3, 3), jnp.float64)
+        kp = KroneckerProductLinearOperator(
+            DenseLinearOperator(a), DenseLinearOperator(b)
+        )
+        dense = jnp.stack([jnp.kron(a[i], b) for i in range(3)])
+        got = kp[jnp.asarray([1]), jnp.asarray([2]), jnp.asarray([3])]
+        self.assertAllClose(got, dense[jnp.asarray([1]), jnp.asarray([2]), jnp.asarray([3])], rtol=1e-12, atol=1e-12)
+
+    def test_constant_mul_batched_constant_getitem(self):
+        d = jax.random.normal(self.key, (3, 4, 5, 5), jnp.float64)
+        c = jnp.asarray([1.0, 2.0, 3.0, 4.0])
+        cm = DenseLinearOperator(d) * c
+        dense = d * c[:, None, None]
+        sub = cm[1, 2]
+        sub = sub.to_dense() if hasattr(sub, "to_dense") else sub
+        self.assertAllClose(sub, dense[1, 2], rtol=1e-12, atol=1e-12)
+
+    def test_nystrom_factor_batched(self):
+        from linear_operator_tpu.operators.added_diag import nystrom_factor
+
+        a = jax.random.normal(self.key, (2, 50, 50), jnp.float64) / 7.0
+        K = a @ jnp.swapaxes(a, -1, -2) + jnp.eye(50)
+        op = DenseLinearOperator(K)
+        L = nystrom_factor(op, rank=20)
+        self.assertEqual(L.shape[:2], (2, 50))
+        # Nystrom of a full-rank matrix at rank 20 is approximate; just
+        # require PSD-sensible output (finite, correct shape, L L^T <= K-ish)
+        self.assertTrue(bool(jnp.all(jnp.isfinite(L))))
+
+    def test_cat_batch_concat_broadcast_rhs(self):
+        from linear_operator_tpu.operators import cat
+
+        a = jax.random.normal(self.key, (2, 4, 4), jnp.float64)
+        b = jax.random.normal(self.key, (3, 4, 4), jnp.float64)
+        c = cat([DenseLinearOperator(a), DenseLinearOperator(b)], dim=0)
+        rhs = jnp.ones((4, 2), jnp.float64)
+        got = c.matmul(rhs)
+        want = jnp.concatenate([a, b], axis=0) @ rhs
+        self.assertAllClose(got, want, rtol=1e-12, atol=1e-12)
+
+    def test_permute_full_length_negative_dims(self):
+        d = jax.random.normal(self.key, (2, 3, 4, 4), jnp.float64)
+        op = DenseLinearOperator(d)
+        got = op.permute(1, 0, -2, -1).to_dense()
+        self.assertAllClose(got, jnp.transpose(d, (1, 0, 2, 3)), rtol=0, atol=0)
+
+    def test_device_on_leafless_operator(self):
+        from linear_operator_tpu.operators import IdentityLinearOperator
+
+        self.assertIsNone(IdentityLinearOperator(3, dtype_="float64").device)
+
+
+class TestUtilsFunctionsReviewFixes(BaseTestCase):
+    """Round-4 utils/functions/parallel review: crashes on valid inputs."""
+
+    def test_ellipsis_with_array_index(self):
+        import numpy as np
+
+        d = jax.random.normal(self.key, (6, 6), jnp.float64)
+        op = DenseLinearOperator(d)
+        got = op[..., np.array([0, 2])]
+        got = got.to_dense() if hasattr(got, "to_dense") else got
+        self.assertAllClose(got, d[:, jnp.asarray([0, 2])], rtol=0, atol=0)
+        mask = np.array([True, False, True, False, True, False])
+        got2 = op[..., np.array(mask), :]
+        got2 = got2.to_dense() if hasattr(got2, "to_dense") else got2
+        self.assertAllClose(got2, d[jnp.asarray(mask)], rtol=0, atol=0)
+
+    def test_iqld_rhs_batch_broader_than_op(self):
+        a = jax.random.normal(self.key, (30, 30), jnp.float64)
+        K = a @ a.T + 10 * jnp.eye(30)
+        op = DenseLinearOperator(K)
+        rhs = jax.random.normal(self.key, (4, 30, 2), jnp.float64)
+        with settings.max_cholesky_size(0), settings.cg_tolerance(1e-10), \
+             settings.num_trace_samples(64), settings.max_cg_iterations(500):
+            iq, ld = op.inv_quad_logdet(rhs, logdet=True, key=self.key)
+        want_iq = jnp.sum(jnp.linalg.solve(K, rhs) * rhs, axis=(-2, -1))
+        self.assertAllClose(iq, want_iq, rtol=1e-6, atol=1e-6)
+        self.assertEqual(ld.shape, (4,))
+        # gradients must flow too (the bwd stacks broadcast correctly)
+        def f(Km):
+            o = DenseLinearOperator(Km)
+            with settings.max_cholesky_size(0), settings.cg_tolerance(1e-10), \
+                 settings.num_trace_samples(16), settings.max_cg_iterations(500):
+                i2, l2 = o.inv_quad_logdet(rhs, logdet=True, key=self.key)
+            return jnp.sum(i2) + jnp.sum(l2)
+
+        g = jax.grad(f)(K)
+        self.assertTrue(bool(jnp.all(jnp.isfinite(g))))
+
+    def test_sqrt_inv_matmul_unbatched_rhs_batched_op(self):
+        a = jax.random.normal(self.key, (2, 12, 12), jnp.float64)
+        K = a @ jnp.swapaxes(a, -1, -2) + 6 * jnp.eye(12)
+        op = DenseLinearOperator(K)
+        rhs = jax.random.normal(self.key, (12, 3), jnp.float64)
+        with settings.minres_tolerance(1e-12), settings.num_contour_quadrature(25):
+            out = op.sqrt_inv_matmul(rhs)
+        evals, evecs = jnp.linalg.eigh(K)
+        inv_sqrt = (evecs / jnp.sqrt(evals)[..., None, :]) @ jnp.swapaxes(evecs, -1, -2)
+        self.assertAllClose(out, inv_sqrt @ rhs, rtol=1e-6, atol=1e-6)
+
+    def test_toeplitz_matmul_mixed_complex(self):
+        from linear_operator_tpu.utils.toeplitz import toeplitz_matmul
+
+        col = jnp.asarray([3.0, 1.0, 0.5, 0.1]) + 1j * jnp.asarray([0.0, 0.2, 0.1, 0.0])
+        row = jnp.asarray([3.0, 0.8, 0.3, 0.05]) + 1j * jnp.asarray([0.0, 0.1, 0.0, 0.0])
+        row = row.at[0].set(col[0])
+        x = jax.random.normal(self.key, (4, 2), jnp.float64)
+        from scipy.linalg import toeplitz as sp_toeplitz
+        import numpy as np
+
+        T = jnp.asarray(sp_toeplitz(np.asarray(col), np.asarray(row)))
+        got = toeplitz_matmul(col, row, x)
+        self.assertTrue(jnp.iscomplexobj(got))
+        self.assertAllClose(got, T @ x.astype(T.dtype), rtol=1e-10, atol=1e-10)
+
+    def test_left_t_interp_probe_batched_rhs(self):
+        from linear_operator_tpu.utils.sparse import left_t_interp
+
+        ki, kv = jax.random.split(self.key)
+        idx = jax.random.randint(ki, (2, 5, 3), 0, 6)
+        val = jax.random.normal(kv, (2, 5, 3), jnp.float64)
+        rhs = jax.random.normal(self.key, (4, 2, 5, 7), jnp.float64)
+        out = left_t_interp(idx, val, rhs, 6)
+        W = jnp.sum(jax.nn.one_hot(idx, 6, dtype=jnp.float64) * val[..., None], axis=-2)
+        self.assertAllClose(out, jnp.swapaxes(W, -1, -2) @ rhs, rtol=1e-12, atol=1e-12)
+
+    def test_make_mesh_non_divisible(self):
+        from linear_operator_tpu.parallel import make_mesh
+
+        mesh = make_mesh(data=2, model=2)  # 8 virtual devices available
+        self.assertEqual(mesh.devices.shape, (2, 2))
+        mesh3 = make_mesh(probe=3)
+        self.assertEqual(mesh3.devices.shape[-1], 3)
+
+    def test_iqld_vector_rhs_unreduced_squeezes(self):
+        a = jax.random.normal(self.key, (8, 8), jnp.float64)
+        K = a @ a.T + 4 * jnp.eye(8)
+        op = DenseLinearOperator(K)
+        v = jax.random.normal(self.key, (8,), jnp.float64)
+        iq, _ = op.inv_quad_logdet(v, logdet=False, reduce_inv_quad=False)
+        self.assertEqual(iq.shape, ())
+        self.assertAllClose(iq, v @ jnp.linalg.solve(K, v), rtol=1e-10, atol=1e-10)
+
+    def test_root_decomposition_grad_without_inverse(self):
+        a = jax.random.normal(self.key, (10, 10), jnp.float64)
+        K = a @ a.T + 5 * jnp.eye(10)
+
+        def f(Km):
+            o = DenseLinearOperator(Km)
+            with settings.max_cholesky_size(0), settings.max_root_decomposition_size(10):
+                r = o.root_decomposition(method="lanczos").root.to_dense()
+            return jnp.sum(r @ jnp.swapaxes(r, -1, -2))
+
+        g = jax.grad(f)(K)
+        # d/dK sum(R R^T) with R R^T ~= K (full-rank Lanczos) ~= ones matrix
+        self.assertAllClose(g, jnp.ones_like(g), rtol=0.3, atol=0.3)
+
+
+class TestReviewFixFollowups(BaseTestCase):
+    """Adversarial review of the round-4 review-fix batch itself: three
+    concrete failures in the first cut, each reproduced then fixed."""
+
+    def test_interpolated_get_indices_mixed_batch_base(self):
+        from linear_operator_tpu.operators import InterpolatedLinearOperator
+
+        kb, ki, kv = jax.random.split(self.key, 3)
+        base = DenseLinearOperator(
+            jax.random.normal(kb, (1, 6, 6), jnp.float64)
+        )
+        li = jax.random.randint(ki, (3, 5, 2), 0, 6)
+        lv = jax.random.normal(kv, (3, 5, 2), jnp.float64)
+        op = InterpolatedLinearOperator(base, li, lv, li, lv)
+        dense = op.to_dense()
+        b = jnp.asarray([2, 2])
+        r = jnp.asarray([0, 3])
+        c = jnp.asarray([1, 4])
+        got = op._get_indices(r, c, b)
+        want = dense[b, r, c]
+        self.assertAllClose(got, want, rtol=1e-12, atol=1e-12)
+        # fully unbatched base under batched interp arrays must work too
+        op2 = InterpolatedLinearOperator(
+            DenseLinearOperator(base.to_dense()[0]), li, lv, li, lv
+        )
+        got2 = op2._get_indices(r, c, b)
+        self.assertAllClose(got2, op2.to_dense()[b, r, c], rtol=1e-12, atol=1e-12)
+
+    def test_cat_batch_concat_singleton_batch_rhs(self):
+        from linear_operator_tpu.operators import cat
+
+        a = jax.random.normal(self.key, (2, 4, 4), jnp.float64)
+        b = jax.random.normal(self.key, (3, 4, 4), jnp.float64)
+        c = cat([DenseLinearOperator(a), DenseLinearOperator(b)], dim=0)
+        rhs = jnp.ones((1, 4, 2), jnp.float64)
+        got = c.matmul(rhs)
+        want = jnp.concatenate([a, b], axis=0) @ rhs
+        self.assertAllClose(got, want, rtol=1e-12, atol=1e-12)
+
+    def test_make_mesh_oversize_axis_raises(self):
+        from linear_operator_tpu.parallel import make_mesh
+
+        with self.assertRaises(ValueError):
+            make_mesh(model=16)  # 8 virtual devices -> data = 0
+
+    def test_interp_to_dense_batched_scatter(self):
+        # latent pre-round-4 bug: out.at[..., rows, idx] with BATCHED idx
+        # added every batch's values into every batch slice
+        from linear_operator_tpu.operators import InterpolatedLinearOperator
+
+        kb, ki, kv = jax.random.split(self.key, 3)
+        base = DenseLinearOperator(
+            jax.random.normal(kb, (3, 6, 6), jnp.float64)
+        )
+        li = jax.random.randint(ki, (3, 5, 2), 0, 6)
+        lv = jax.random.normal(kv, (3, 5, 2), jnp.float64)
+        op = InterpolatedLinearOperator(base, li, lv, li, lv)
+        # to_dense must agree with the matmul path against the identity
+        eye = jnp.eye(5, dtype=jnp.float64)
+        self.assertAllClose(
+            op.to_dense(), op.matmul(eye), rtol=1e-12, atol=1e-12
+        )
