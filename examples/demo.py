@@ -224,7 +224,9 @@ def demo_sampling(n1: int = 64, n2: int = 64) -> None:
 
     samples = draw(cov, ks)
     print(f"samples: {samples.shape}")
-    emp = jnp.cov(samples.reshape(8, n), rowvar=True)
+    # rowvar=False: coordinates are the variables, the 8 draws are the
+    # observations — emp[0, 0] is the across-sample variance of coordinate 0
+    emp = jnp.cov(samples.reshape(8, n), rowvar=False)
     print(
         "empirical 8-sample variance of first coordinate "
         f"{float(emp[0, 0]):.3f} vs exact {float(cov.diagonal()[0]):.3f}"

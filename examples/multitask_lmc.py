@@ -10,9 +10,10 @@ the CG+SLQ marginal likelihood.
 Run: python examples/multitask_lmc.py   (CPU or TPU)
 """
 
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

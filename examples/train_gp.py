@@ -58,10 +58,9 @@ def train(loss_fn, params, steps: int, lr: float = 0.05, **loss_kwargs):
         params, state, val = step(params, state)
         if val0 is None:
             val0 = float(val)
+    final = float(val)  # host-transfer fence BEFORE reading the clock
     dt = time.perf_counter() - t0
-    print(
-        f"  {steps} steps in {dt:.2f}s: loss {val0:.3f} -> {float(val):.3f}"
-    )
+    print(f"  {steps} steps in {dt:.2f}s: loss {val0:.3f} -> {final:.3f}")
     return params
 
 
@@ -134,8 +133,10 @@ def main() -> None:
         key_mb, k = jax.random.split(key_mb)
         idx = jax.random.choice(k, args.n, (min(256, args.n),), replace=False)
         params, state, val = svgp_step(params, state, x[idx], y[idx])
+    float(val)  # host-transfer fence BEFORE reading the clock
+    dt = time.perf_counter() - t0
     print(
-        f"  {args.steps * 4} minibatch steps in {time.perf_counter()-t0:.2f}s: "
+        f"  {args.steps * 4} minibatch steps in {dt:.2f}s: "
         f"full-data ELBO {float(svgp.elbo(params, x, y)):.1f}"
     )
     mean, var = svgp.posterior(params, x_star)

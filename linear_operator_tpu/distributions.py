@@ -74,11 +74,16 @@ class MultivariateNormal:
 
     @property
     def covariance_matrix(self) -> jax.Array:
-        return self.lazy_covariance_matrix.to_dense()
+        dense = self.lazy_covariance_matrix.to_dense()
+        # the mean may carry batch dims the covariance operator lacks
+        # (batched-y posterior over shared inputs); moments report the
+        # distribution's joint batch
+        return jnp.broadcast_to(dense, (*self.batch_shape, *dense.shape[-2:]))
 
     @property
     def variance(self) -> jax.Array:
-        return self.lazy_covariance_matrix.diagonal()
+        d = self.lazy_covariance_matrix.diagonal()
+        return jnp.broadcast_to(d, (*self.batch_shape, d.shape[-1]))
 
     @property
     def stddev(self) -> jax.Array:
@@ -166,15 +171,26 @@ class MultivariateNormal:
         """
         n = self.mean.shape[-1]
         s1, s2 = self.lazy_covariance_matrix, other.lazy_covariance_matrix
-        r1 = s1.root_decomposition(key=key).root.to_dense()  # (*b, n, k)
+        # independent keys per stochastic estimator: reusing one key would
+        # make the two SLQ probe draws identical and correlate s1's Lanczos
+        # start with them (same reasoning as zero_mean_mvn_samples' split,
+        # operators/_linear_operator.py)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        k_root, k_s2, k_s1 = jax.random.split(key, 3)
+        r1 = s1.root_decomposition(key=k_root).root.to_dense()  # (*b, n, k)
         mdiff = (other.mean - self.mean)[..., None]
-        rhs = jnp.concatenate([r1, jnp.broadcast_to(mdiff, (*r1.shape[:-1], 1))], -1)
+        # the means may carry batch dims the covariance operators lack
+        joint = jnp.broadcast_shapes(r1.shape[:-2], mdiff.shape[:-2])
+        r1 = jnp.broadcast_to(r1, (*joint, *r1.shape[-2:]))
+        mdiff = jnp.broadcast_to(mdiff, (*joint, *mdiff.shape[-2:]))
+        rhs = jnp.concatenate([r1, mdiff], -1)
         iq, ld2 = s2.inv_quad_logdet(
-            rhs, logdet=True, reduce_inv_quad=False, key=key
+            rhs, logdet=True, reduce_inv_quad=False, key=k_s2
         )
         trace_term = jnp.sum(iq[..., :-1], axis=-1)
         maha = iq[..., -1]
-        _, ld1 = s1.inv_quad_logdet(None, logdet=True, key=key)
+        _, ld1 = s1.inv_quad_logdet(None, logdet=True, key=k_s1)
         return 0.5 * (trace_term + maha - n + ld2 - ld1)
 
 

@@ -124,30 +124,28 @@ class ExactGPRegression:
         # solves (reference memoizes _preconditioner per operator); no-op
         # when preconditioning is gated off.
         K = self.train_operator(params, x).with_preconditioner()
-        k_star = self.covariance(params, x_star, x)  # (*b, m, n)
         # ONE batched CG over [y | k_star^T]: predictive mean and variance
         # solves share every kernel mat-vec — extra rhs columns ride the
         # same MXU contraction (BASELINE.md probe-sweep table), so this is
         # ~2x the separate-solves formulation for m <= ~100 query points.
-        ks_t = k_star.mT.to_dense()  # (*b, n, m)
+        # The (m, n) cross block is formed ONCE and reused for the rhs, the
+        # mean contraction, and the variance downdate.
+        ks_t = self.covariance(params, x_star, x).mT.to_dense()  # (*b, n, m)
         # y may carry batch dims that x (and hence ks_t) lacks, or vice
         # versa — broadcast both operands to the joint batch shape before
         # stacking (solve() broadcasts rhs batch dims, so this preserves the
         # separate-solves semantics for (B, n) targets over shared inputs).
         y_col = y[..., None]  # (*by, n, 1)
         batch = jnp.broadcast_shapes(y_col.shape[:-1], ks_t.shape[:-1])
+        ks_t = jnp.broadcast_to(ks_t, (*batch, ks_t.shape[-1]))
         stacked = jnp.concatenate(
-            [
-                jnp.broadcast_to(y_col, (*batch, 1)),
-                jnp.broadcast_to(ks_t, (*batch, ks_t.shape[-1])),
-            ],
-            axis=-1,
+            [jnp.broadcast_to(y_col, (*batch, 1)), ks_t], axis=-1
         )
         sol = solve(K, stacked)
         alpha, v = sol[..., :1], sol[..., 1:]
-        mean = (k_star @ alpha)[..., 0]
+        mean = jnp.einsum("...nm,...no->...m", ks_t, alpha)
         k_ss_diag = self.covariance(params, x_star).diagonal()
-        var = k_ss_diag - jnp.einsum("...mn,...nm->...m", k_star.to_dense(), v)
+        var = k_ss_diag - jnp.einsum("...nm,...nm->...m", ks_t, v)
         return mean, jnp.maximum(var, 0.0)
 
     # -- cached prediction (the LOVE workflow; Pleiss et al. 2018) ---------
@@ -159,7 +157,9 @@ class ExactGPRegression:
         ``root_inv_decomposition`` — the functional analog of the reference's
         memoized prediction strategy).  The cache is a pytree: jit through
         it, reuse it across any number of query batches."""
-        K = self.train_operator(params, x)
+        # share one preconditioner factor between the alpha solve and the
+        # root-inv Lanczos (no-op when preconditioning is gated off)
+        K = self.train_operator(params, x).with_preconditioner()
         alpha = solve(K, y[..., None])
         r_inv = K.root_inv_decomposition(key=key).root.to_dense()
         return PosteriorCache(alpha=alpha, root_inv=r_inv)
@@ -184,14 +184,12 @@ class ExactGPRegression:
         from ..distributions import MultivariateNormal
         from ..operators import ConstantMulLinearOperator, RootLinearOperator
 
-        K = self.train_operator(params, x)
+        cache = self.posterior_cache(params, x, y, key=key)
         k_star = self.covariance(params, x_star, x)  # (*b, m, n)
-        alpha = solve(K, y[..., None])
-        mean = (k_star @ alpha)[..., 0]
+        mean = (k_star @ cache.alpha)[..., 0]
         k_ss = self.covariance(params, x_star)
         # downdate root: K_s* R with R an inverse root of K -> cov = K_ss - V V^T
-        r_inv = K.root_inv_decomposition(key=key).root.to_dense()  # (*b, n, k)
-        v = k_star @ r_inv  # (*b, m, k)
+        v = k_star @ cache.root_inv  # (*b, m, k)
         downdate = ConstantMulLinearOperator(
             RootLinearOperator(v), jnp.asarray(-1.0, dtype=v.dtype)
         )

@@ -76,6 +76,14 @@ class SGPRRegression:
         )
         return jnp.swapaxes(ut, -1, -2)  # (n, m)
 
+    def _kernel_diag(self, params: SGPRParams, x: jax.Array) -> jax.Array:
+        """Pointwise k(x_i, x_i) via a batched 1x1 kernel eval (generic over
+        ``covar_func``; the SVGP model uses the same pattern)."""
+        ls, os_, _ = self._hyp(params)
+        return self.covar_func(
+            x[..., :, None, :], x[..., :, None, :], lengthscale=ls, outputscale=os_
+        )[..., 0, 0]
+
     def train_operator(self, params: SGPRParams, x: jax.Array):
         """Q_nn + sigma^2 I as a LowRankRootAddedDiag (exact Woodbury)."""
         _, _, noise = self._hyp(params)
@@ -86,7 +94,7 @@ class SGPRRegression:
 
     def elbo(self, params: SGPRParams, x: jax.Array, y: jax.Array) -> jax.Array:
         """Collapsed lower bound on log p(y) (Titsias 2009, eq. 9)."""
-        _, os_, noise = self._hyp(params)
+        _, _, noise = self._hyp(params)
         n = y.shape[-1]
         u = self._whitened_root(params, x)
         op = LowRankRootLinearOperator(DenseLinearOperator(u)).add_diagonal(
@@ -94,9 +102,9 @@ class SGPRRegression:
         )
         iq, ld = inv_quad_logdet(op, y[..., None], logdet=True)
         gaussian = -0.5 * (jnp.sum(iq) + ld + n * jnp.log(2.0 * jnp.pi))
-        # trace correction: tr(K_nn) - tr(Q_nn); for stationary kernels
-        # k(x, x) = outputscale
-        tr_k = n * os_
+        # trace correction: tr(K_nn) - tr(Q_nn).  tr(K_nn) via a batched 1x1
+        # kernel eval (generic over covar_func — no stationarity assumption)
+        tr_k = jnp.sum(self._kernel_diag(params, x))
         tr_q = jnp.sum(u * u)
         return gaussian - 0.5 * (tr_k - tr_q) / noise
 
@@ -144,6 +152,6 @@ class SGPRRegression:
         v = jax.lax.linalg.triangular_solve(
             l_a, u_star_t, left_side=True, lower=True
         )
-        k_ss = jnp.full(x_star.shape[:-1], os_, dtype=x.dtype)
+        k_ss = self._kernel_diag(params, x_star)
         var = k_ss - jnp.sum(u_star_t * u_star_t, axis=-2) + jnp.sum(v * v, axis=-2)
         return mean, jnp.maximum(var, 0.0)

@@ -186,7 +186,9 @@ def rq_tile_covar(alpha: float) -> str:
     lengthscale/outputscale gradients still flow via input prescaling.
     """
     alpha = float(alpha)
-    name = f"rq_{alpha:g}"
+    # key by the full repr: %g truncates to 6 significant digits, which
+    # would silently alias nearby alphas onto the first registration
+    name = f"rq_{alpha!r}"
     if name not in TILE_COVARS:
 
         def _covar_rq(d2, _a=alpha):
@@ -239,8 +241,11 @@ def _make_weighted_kernel(d: int, covar: str = "rbf"):
         v = v_ref[:]
         d2 = _tile_sq_dist(x1, x2, d)
         k = dcovar_fn(d2)
-        w = k * jnp.dot(g, v.T, preferred_element_type=jnp.float32)
-        wx = jnp.dot(w, x2, preferred_element_type=jnp.float32)
+        # same 3-pass precision as the forward matvec: default single-pass
+        # bf16 here would feed ~1e-2-noisy products into every x1/x2 (and
+        # hence lengthscale) gradient through the fused path
+        w = k * _dot_acc3(g, v.T, (((1,), (0,)), ((), ())))
+        wx = _dot_acc3(w, x2, (((1,), (0,)), ((), ())))
         # lane-width (128) broadcast: the caller reads column 0
         ws = jnp.broadcast_to(
             jnp.sum(w, axis=-1, keepdims=True), (w.shape[0], 128)

@@ -55,10 +55,16 @@ def make_mesh(
     # data*model*probe devices instead of crashing in reshape
     used = data * model * (probe if probe is not None else 1)
     if used == 0 or used > len(devices):
+        axes_txt = f"data={data}, model={model}" + (
+            f", probe={probe}" if probe is not None else ""
+        )
         raise ValueError(
-            f"mesh ({data}, {model}"
-            + (f", {probe}" if probe is not None else "")
-            + f") needs {max(used, 1)} devices, have {len(devices)}"
+            f"mesh ({axes_txt}) does not fit {len(devices)} devices"
+            + (
+                " (a requested axis exceeds the device count)"
+                if used == 0
+                else f" (needs {used})"
+            )
         )
     devices = devices[:used]
     if probe is None:
@@ -156,6 +162,7 @@ def sharded_train_step(model, optimizer, mesh: Mesh):
     over ``model``; CG inner products and the loss mean reduce with psum —
     all inserted by GSPMD.
     """
+    import optax
 
     def step(params, opt_state, x, y, key):
         x = jax.lax.with_sharding_constraint(
@@ -168,7 +175,7 @@ def sharded_train_step(model, optimizer, mesh: Mesh):
             lambda p: model.neg_mll(p, x, y, key=key)
         )(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
     return jax.jit(step)

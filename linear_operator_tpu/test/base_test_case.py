@@ -50,7 +50,9 @@ class BaseTestCase(unittest.TestCase):
             return
         abs_diff = np.abs(actual - expected)
         tol = atol + rtol * np.abs(expected)
-        bad = abs_diff > tol
+        # NaN diffs must count as violations or the report reads "0/N
+        # elements violate" for a NaN-poisoned result
+        bad = (abs_diff > tol) | ~np.isfinite(abs_diff)
         base = msg or "assertAllClose failed"
         raise AssertionError(
             f"{base}: {bad.sum()}/{bad.size} elements violate "

@@ -673,8 +673,12 @@ class LinearOperatorTestCase(RectangularLinearOperatorTestCase):
         with settings.fast_computations(log_prob=False, solves=False):
             self._grad_check(
                 op,
-                lambda o: jnp.sum(o.inv_quad_logdet(b, logdet=True)[0])
-                + jnp.sum(o.inv_quad_logdet(b, logdet=True)[1]),
+                # one call for both outputs: a second identical call would
+                # re-run the full forward+VJP under jax.grad (no CSE outside
+                # jit) — these are the heaviest tests in the suite
+                lambda o: (lambda r: jnp.sum(r[0]) + jnp.sum(r[1]))(
+                    o.inv_quad_logdet(b, logdet=True)
+                ),
                 lambda d: jnp.sum(jnp.sum(jnp.linalg.solve(d, b) * b, axis=(-2, -1)))
                 + jnp.sum(jnp.linalg.slogdet(d)[1]),
                 name="iqld_chol",
@@ -710,9 +714,9 @@ class LinearOperatorTestCase(RectangularLinearOperatorTestCase):
              settings.max_lanczos_quadrature_iterations(64):
             self._grad_check(
                 op,
-                lambda o: jnp.sum(
-                    o.inv_quad_logdet(b, logdet=True, key=key)[0]
-                    + o.inv_quad_logdet(b, logdet=True, key=key)[1]
+                # one call for both outputs (see test_inv_quad_logdet_cholesky)
+                lambda o: (lambda r: jnp.sum(r[0] + r[1]))(
+                    o.inv_quad_logdet(b, logdet=True, key=key)
                 ),
                 lambda d: jnp.sum(
                     jnp.sum(jnp.linalg.solve(d, b) * b, axis=(-2, -1))

@@ -221,3 +221,103 @@ class TestPosteriorCache(BaseTestCase):
         f = jax.jit(lambda c, xs: gp.posterior_from_cache(params, x, c, xs))
         mean_j, _ = f(cache, xs)
         self.assertAllClose(mean_j, mean_c, rtol=1e-6, atol=1e-6)
+
+
+class TestRound4ReviewFixes(BaseTestCase):
+    """Models/distributions review: batched-mean moments and KL, generic
+    SGPR kernel diagonal, KL key independence."""
+
+    def _mvn_pair(self):
+        from linear_operator_tpu.distributions import MultivariateNormal
+        from linear_operator_tpu.operators import DenseLinearOperator
+
+        n = 6
+        k1, k2, km = jax.random.split(self.key, 3)
+        a1 = jax.random.normal(k1, (n, n), jnp.float64)
+        a2 = jax.random.normal(k2, (n, n), jnp.float64)
+        s1 = a1 @ a1.T + n * jnp.eye(n)
+        s2 = a2 @ a2.T + n * jnp.eye(n)
+        mu = jax.random.normal(km, (3, n), jnp.float64)  # batched mean
+        mvn1 = MultivariateNormal(mu, DenseLinearOperator(s1))
+        mvn2 = MultivariateNormal(jnp.zeros(n), DenseLinearOperator(s2))
+        return mvn1, mvn2, mu, s1, s2
+
+    def test_batched_mean_moments(self):
+        mvn1, _, mu, s1, _ = self._mvn_pair()
+        self.assertEqual(mvn1.batch_shape, (3,))
+        self.assertEqual(mvn1.variance.shape, (3, 6))
+        self.assertEqual(mvn1.covariance_matrix.shape, (3, 6, 6))
+        self.assertAllClose(
+            mvn1.variance, jnp.broadcast_to(jnp.diag(s1), (3, 6)), rtol=1e-12, atol=0
+        )
+
+    def test_kl_batched_mean_unbatched_cov(self):
+        mvn1, mvn2, mu, s1, s2 = self._mvn_pair()
+        kl = mvn1.kl_divergence(mvn2)
+        self.assertEqual(kl.shape, (3,))
+        # dense ground truth per batch element
+        s2inv = jnp.linalg.inv(s2)
+        _, ld1 = jnp.linalg.slogdet(s1)
+        _, ld2 = jnp.linalg.slogdet(s2)
+        tr = jnp.trace(s2inv @ s1)
+        for b in range(3):
+            d = -mu[b]
+            want = 0.5 * (tr + d @ s2inv @ d - 6 + ld2 - ld1)
+            self.assertAllClose(kl[b], want, rtol=1e-6, atol=1e-6)
+
+    def test_sgpr_nonconstant_diag_kernel(self):
+        from linear_operator_tpu.models.sgpr import SGPRRegression
+
+        # (scaled) linear kernel + constant: its diagonal is NOT outputscale
+        def covar(x1, x2, lengthscale, outputscale):
+            return outputscale * (
+                jnp.einsum("...id,...jd->...ij", x1 / lengthscale, x2 / lengthscale)
+                + 0.05
+            )
+
+        n, m, d = 40, 12, 2
+        kx, ky = jax.random.split(self.key)
+        x = jax.random.normal(kx, (n, d), jnp.float64)
+        y = jax.random.normal(ky, (n,), jnp.float64)
+        model = SGPRRegression(covar_func=covar, jitter=1e-8)
+        params = model.init_params(x, m)
+        ls, os_, noise = model._hyp(params)
+        # dense Titsias bound ground truth
+        knn = covar(x, x, lengthscale=ls, outputscale=os_)
+        knm = covar(x, params.z, lengthscale=ls, outputscale=os_)
+        kmm = covar(params.z, params.z, lengthscale=ls, outputscale=os_) \
+            + model.jitter * os_ * jnp.eye(m)
+        qnn = knm @ jnp.linalg.solve(kmm, knm.T)
+        cov = qnn + noise * jnp.eye(n)
+        _, ld = jnp.linalg.slogdet(cov)
+        gauss = -0.5 * (y @ jnp.linalg.solve(cov, y) + ld + n * jnp.log(2 * jnp.pi))
+        want = gauss - 0.5 * (jnp.trace(knn) - jnp.trace(qnn)) / noise
+        got = model.elbo(params, x, y)
+        self.assertAllClose(got, want, rtol=1e-6, atol=1e-6)
+        # posterior variance uses the true k(x,x) diagonal too
+        xs = jax.random.normal(kx, (5, d), jnp.float64)
+        mean, var = model.posterior(params, x, y, xs)
+        # exact Titsias predictive
+        ksm = covar(xs, params.z, lengthscale=ls, outputscale=os_)
+        sigma = jnp.linalg.inv(kmm + knm.T @ knm / noise)
+        want_mean = ksm @ sigma @ knm.T @ y / noise
+        kss = covar(xs, xs, lengthscale=ls, outputscale=os_)
+        want_var = (
+            jnp.diag(kss)
+            - jnp.einsum("ij,ij->i", ksm, jnp.linalg.solve(kmm, ksm.T).T)
+            + jnp.einsum("ij,ij->i", ksm, (sigma @ ksm.T).T)
+        )
+        self.assertAllClose(mean, want_mean, rtol=1e-5, atol=1e-6)
+        self.assertAllClose(var, want_var, rtol=1e-5, atol=1e-6)
+
+    def test_rq_registry_distinct_alphas(self):
+        from linear_operator_tpu.ops.rbf import rq_tile_covar, TILE_COVARS
+
+        n1 = rq_tile_covar(0.5)
+        n2 = rq_tile_covar(0.50000004)
+        self.assertNotEqual(n1, n2)
+        d2 = jnp.asarray([[1.0]], jnp.float32)
+        v1 = TILE_COVARS[n1][0](d2)
+        v2 = TILE_COVARS[n2][0](d2)
+        # same to float tolerance but computed with their own alphas
+        self.assertEqual(n1, rq_tile_covar(0.5))
