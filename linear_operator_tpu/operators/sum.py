@@ -36,7 +36,11 @@ class SumLinearOperator(LinearOperator):
         d = jnp.broadcast_to(
             op.to_dense(), (*op.batch_shape, *self.matrix_shape)
         )
-        return jnp.matmul(jnp.swapaxes(d, -1, -2) if transpose else d, rhs)
+        return jnp.matmul(
+            jnp.swapaxes(d, -1, -2) if transpose else d,
+            rhs,
+            precision=jax.lax.Precision.HIGH,
+        )
 
     def _matmul(self, rhs: jax.Array) -> jax.Array:
         out = self._term_mm(self.operators[0], rhs, False)

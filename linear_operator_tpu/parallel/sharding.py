@@ -66,6 +66,18 @@ def make_mesh(
                 else f" (needs {used})"
             )
         )
+    if used < len(devices):
+        import warnings
+
+        warnings.warn(
+            f"make_mesh uses only {used} of {len(devices)} available devices "
+            f"(data={data} x model={model}"
+            + (f" x probe={probe}" if probe is not None else "")
+            + " does not tile the device count); the rest idle. Pick axes "
+            "whose product equals the device count to use all chips.",
+            UserWarning,
+            stacklevel=2,
+        )
     devices = devices[:used]
     if probe is None:
         dev_array = np.asarray(devices).reshape(data, model)

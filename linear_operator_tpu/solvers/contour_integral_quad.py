@@ -150,7 +150,10 @@ def contour_integral_quad(
             tolerance=1e-5,
             preconditioner=preconditioner,
         )
-        ritz = jnp.linalg.eigvalsh(cg_res.t_mats[..., 0, :, :])
+        # t_mats is (nt, *batch, tmax, tmax): index the LEADING tridiag dim so
+        # every batch element contributes its own Ritz values (indexing
+        # [..., 0, :, :] would silently select batch element 0 instead).
+        ritz = jnp.linalg.eigvalsh(cg_res.t_mats[0])
     # dead-iteration pads carry the last live Ritz scale (solvers/lanczos.py
     # breakdown convention), so they sit inside the hull; the safety factors
     # absorb residual estimation error

@@ -54,9 +54,36 @@ def pivoted_cholesky(
     if block_size is None:
         block_size = settings.pivoted_cholesky_block_size.value()
     if block_size and block_size > 1 and rank > block_size:
-        return _blocked_pivoted_cholesky(op, rank, error_tol, block_size)
+        return _forward_only(_blocked_pivoted_cholesky(op, rank, error_tol, block_size))
     L, _ = pivoted_cholesky_with_pivots(op, rank, error_tol)
     return L
+
+
+@jax.custom_vjp
+def _forward_only(L):
+    """Identity marker: differentiating through it raises at trace time.
+
+    The blocked sweep uses an adaptive ``lax.while_loop`` and is forward-only
+    (it serves the detached preconditioner path); without this marker,
+    ``jax.grad`` through the blocked factor would silently return garbage."""
+    return L
+
+
+def _forward_only_fwd(L):
+    return L, None
+
+
+def _forward_only_bwd(_, g):
+    raise NotImplementedError(
+        "The blocked pivoted Cholesky sweep "
+        "(settings.pivoted_cholesky_block_size) is forward-only: its adaptive "
+        "while_loop is not reverse-differentiable, and its pivot order differs "
+        "from the reference. Unset pivoted_cholesky_block_size (or pass "
+        "block_size=None) to differentiate through pivoted_cholesky."
+    )
+
+
+_forward_only.defvjp(_forward_only_fwd, _forward_only_bwd)
 
 
 def pivoted_cholesky_with_pivots(op, rank: int, error_tol: float | None = None):

@@ -642,9 +642,11 @@ class TestUtilsFunctionsReviewFixes(BaseTestCase):
     def test_make_mesh_non_divisible(self):
         from linear_operator_tpu.parallel import make_mesh
 
-        mesh = make_mesh(data=2, model=2)  # 8 virtual devices available
+        with self.assertWarns(UserWarning):  # 4 of 8 devices used -> warn
+            mesh = make_mesh(data=2, model=2)  # 8 virtual devices available
         self.assertEqual(mesh.devices.shape, (2, 2))
-        mesh3 = make_mesh(probe=3)
+        with self.assertWarns(UserWarning):
+            mesh3 = make_mesh(probe=3)
         self.assertEqual(mesh3.devices.shape[-1], 3)
 
     def test_iqld_vector_rhs_unreduced_squeezes(self):
