@@ -178,20 +178,75 @@ class MultivariateNormal:
         if key is None:
             key = jax.random.PRNGKey(0)
         k_root, k_s2, k_s1 = jax.random.split(key, 3)
-        r1 = s1.root_decomposition(key=k_root).root.to_dense()  # (*b, n, k)
+        root_op = s1.root_decomposition(key=k_root).root  # (*b, n, k) operator
         mdiff = (other.mean - self.mean)[..., None]
-        # the means may carry batch dims the covariance operators lack
-        joint = jnp.broadcast_shapes(r1.shape[:-2], mdiff.shape[:-2])
-        r1 = jnp.broadcast_to(r1, (*joint, *r1.shape[-2:]))
-        mdiff = jnp.broadcast_to(mdiff, (*joint, *mdiff.shape[-2:]))
-        rhs = jnp.concatenate([r1, mdiff], -1)
-        iq, ld2 = s2.inv_quad_logdet(
-            rhs, logdet=True, reduce_inv_quad=False, key=k_s2
-        )
-        trace_term = jnp.sum(iq[..., :-1], axis=-1)
-        maha = iq[..., -1]
+        k = root_op.shape[-1]
+
+        from .operators.dense import DenseLinearOperator
+        from .operators.triangular import TriangularLinearOperator
+
+        dense_root = isinstance(root_op, (DenseLinearOperator, TriangularLinearOperator))
+        if dense_root or k <= _KL_LAZY_BLOCK:
+            # dense path: one CG over the stacked [root | mdiff] columns
+            r1 = root_op.to_dense()
+            # the means may carry batch dims the covariance operators lack
+            joint = jnp.broadcast_shapes(r1.shape[:-2], mdiff.shape[:-2])
+            r1 = jnp.broadcast_to(r1, (*joint, *r1.shape[-2:]))
+            mdiff = jnp.broadcast_to(mdiff, (*joint, *mdiff.shape[-2:]))
+            rhs = jnp.concatenate([r1, mdiff], -1)
+            iq, ld2 = s2.inv_quad_logdet(
+                rhs, logdet=True, reduce_inv_quad=False, key=k_s2
+            )
+            trace_term = jnp.sum(iq[..., :-1], axis=-1)
+            maha = iq[..., -1]
+        else:
+            # structured root with many columns (e.g. the exact n-column
+            # Kronecker/Toeplitz roots): never materialize the full (n, k)
+            # dense factor — stream the trace term tr(R1^T S2^{-1} R1) in
+            # column blocks generated lazily via the root's structure-aware
+            # _matmul (VERDICT r4 #8).  Peak memory O(n * block) vs O(n * k).
+            trace_term = _lazy_trace_term(s2, root_op, k_s2)
+            iq, ld2 = s2.inv_quad_logdet(
+                mdiff, logdet=True, reduce_inv_quad=False, key=k_s2
+            )
+            maha = iq[..., 0]
+            trace_term = jnp.broadcast_to(
+                trace_term, jnp.broadcast_shapes(trace_term.shape, maha.shape)
+            )
         _, ld1 = s1.inv_quad_logdet(None, logdet=True, key=k_s1)
         return 0.5 * (trace_term + maha - n + ld2 - ld1)
+
+
+_KL_LAZY_BLOCK = 256
+
+
+def _lazy_trace_term(s2, root_op, key) -> jax.Array:
+    """tr(R1^T S2^{-1} R1) streamed in column blocks of the lazy root.
+
+    Block i's columns are R1 @ E_i with E_i a (k, block) one-hot slab —
+    computed through the root's structure-aware ``_matmul`` (factor-wise for
+    Kronecker, FFT for Toeplitz), so only (n, block) columns ever exist.
+    Out-of-range one-hot indices in the last block produce zero columns whose
+    inv_quad contribution is exactly zero.  The fori_loop has static bounds,
+    so the whole stream is reverse-differentiable."""
+    from jax import lax
+
+    k = root_op.shape[-1]
+    block = _KL_LAZY_BLOCK
+    nblocks = -(-k // block)
+    batch = jnp.broadcast_shapes(tuple(s2.batch_shape), tuple(root_op.batch_shape))
+    acc0 = jnp.zeros(batch, dtype=s2.dtype)
+
+    def body(i, acc):
+        idx = i * block + jnp.arange(block)
+        E = jax.nn.one_hot(idx, k, dtype=root_op.dtype, axis=0)  # (k, block)
+        cols = root_op._matmul(E)  # (*b, n, block)
+        iq, _ = s2.inv_quad_logdet(
+            cols, logdet=False, reduce_inv_quad=True, key=key
+        )
+        return acc + iq
+
+    return lax.fori_loop(0, nblocks, body, acc0)
 
 
 __all__ = ["MultivariateNormal"]

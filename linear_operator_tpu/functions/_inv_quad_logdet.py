@@ -94,7 +94,25 @@ def inv_quad_logdet(
     if num_probes is None:
         num_probes = settings.num_trace_samples.value() if logdet else 0
     if key is None:
-        key = jax.random.PRNGKey(0)  # deterministic_probes-style fallback
+        # ``deterministic_probes`` gate (reference settings.py:245-262): with
+        # the flag ON the reference reuses cached probe vectors across calls;
+        # the jit-compatible analog is a fixed PRNG key.  With the flag OFF
+        # the reference draws FRESH probes every call — a caller who passes no
+        # key here still gets the fixed key (stochastic-API convention), so
+        # warn once that successive calls share probes unless ``key=`` is
+        # supplied (or the flag is turned on to declare this intentional).
+        if num_probes > 0 and settings.deterministic_probes.off():
+            import warnings
+
+            warnings.warn(
+                "inv_quad_logdet called without key=: probe vectors are "
+                "deterministic and shared across calls. Pass key= for fresh "
+                "probes (reference deterministic_probes=False semantics), or "
+                "enable settings.deterministic_probes to silence this.",
+                UserWarning,
+                stacklevel=3,
+            )
+        key = jax.random.PRNGKey(0)
 
     if num_probes > 0:
         closure, precond_op, logdet_p = op.detach()._preconditioner()

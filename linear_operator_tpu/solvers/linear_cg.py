@@ -250,11 +250,17 @@ def linear_cg(
 
     from ..utils.warnings import host_callbacks_supported
 
-    if settings.verbose_linalg.on() and host_callbacks_supported():
-        # async host-side diagnostic, the analog of the reference's
-        # NumericalWarning on non-convergence (linear_cg.py:337-347)
+    if host_callbacks_supported():
+        # Default-on non-convergence NumericalWarning, matching the reference
+        # (utils/linear_cg.py:337-347 warns unconditionally when CG exits
+        # unconverged); verbose_linalg additionally logs the iteration report.
+        # Axon-gated: the tunneled-TPU backend aborts on host callbacks.
         jax.debug.callback(
-            _report_convergence, final.k, jnp.max(final.mean_resid), tolerance
+            _report_convergence,
+            final.k,
+            jnp.max(final.mean_resid),
+            tolerance,
+            settings.verbose_linalg.on(),
         )
 
     solution = final.x * rhs_norm
@@ -282,16 +288,17 @@ def linear_cg(
     return CGResult(solution, t_mats, residual_norm.astype(orig_dtype), final.k)
 
 
-def _report_convergence(num_iters, mean_resid, tolerance):
+def _report_convergence(num_iters, mean_resid, tolerance, verbose=True):
     import warnings
 
     from ..utils.warnings import NumericalWarning
 
-    settings.logger.debug(
-        "linear_cg finished in %d iterations, mean residual %.3e",
-        int(num_iters),
-        float(mean_resid),
-    )
+    if verbose:
+        settings.logger.debug(
+            "linear_cg finished in %d iterations, mean residual %.3e",
+            int(num_iters),
+            float(mean_resid),
+        )
     if float(mean_resid) >= tolerance:
         warnings.warn(
             f"CG terminated in {int(num_iters)} iterations with mean residual "

@@ -321,3 +321,71 @@ class TestRound4ReviewFixes(BaseTestCase):
         v2 = TILE_COVARS[n2][0](d2)
         # same to float tolerance but computed with their own alphas
         self.assertEqual(n1, rq_tile_covar(0.5))
+
+
+class TestLazyKLTraceTerm(BaseTestCase):
+    """Round-5 (VERDICT r4 #8): structured roots with many columns stream the
+    KL trace term through the root's _matmul — no (n, k) dense factor."""
+
+    def _kron_mvn(self, key, na=18, nb=18, scale=1.0):
+        from linear_operator_tpu.operators import (
+            DenseLinearOperator,
+            KroneckerProductLinearOperator,
+        )
+
+        ka, kb = jax.random.split(key)
+        a = jax.random.normal(ka, (na, na), jnp.float64)
+        b = jax.random.normal(kb, (nb, nb), jnp.float64)
+        fa = a @ a.T + na * jnp.eye(na, dtype=jnp.float64)
+        fb = b @ b.T + nb * jnp.eye(nb, dtype=jnp.float64)
+        cov = KroneckerProductLinearOperator(
+            (DenseLinearOperator(scale * fa), DenseLinearOperator(fb))
+        )
+        mean = jax.random.normal(key, (na * nb,), jnp.float64)
+        return MultivariateNormal(mean, cov)
+
+    def test_kronecker_kl_matches_dense_and_stays_lazy(self):
+        from unittest import mock
+
+        from linear_operator_tpu.operators.kronecker import (
+            KroneckerProductTriangularLinearOperator,
+        )
+
+        mvn1 = self._kron_mvn(jax.random.PRNGKey(0))
+        mvn2 = self._kron_mvn(jax.random.PRNGKey(1), scale=1.5)
+        n = 18 * 18  # 324 > _KL_LAZY_BLOCK -> lazy path for the Kronecker root
+
+        s1 = np.asarray(mvn1.lazy_covariance_matrix.to_dense())
+        s2 = np.asarray(mvn2.lazy_covariance_matrix.to_dense())
+        md = np.asarray(mvn2.mean - mvn1.mean)
+        _, ld1 = np.linalg.slogdet(s1)
+        _, ld2 = np.linalg.slogdet(s2)
+        kl_exact = 0.5 * (
+            np.trace(np.linalg.solve(s2, s1))
+            + md @ np.linalg.solve(s2, md)
+            - n
+            + ld2
+            - ld1
+        )
+
+        def _boom(self):
+            raise AssertionError("lazy KL must not densify the structured root")
+
+        with mock.patch.object(
+            KroneckerProductTriangularLinearOperator, "to_dense", _boom
+        ):
+            kl = mvn1.kl_divergence(mvn2)
+        self.assertAllClose(kl, kl_exact, rtol=1e-6, atol=1e-6)
+
+    def test_lazy_kl_differentiable(self):
+        mvn1 = self._kron_mvn(jax.random.PRNGKey(2))
+        mvn2 = self._kron_mvn(jax.random.PRNGKey(3), scale=2.0)
+
+        def f(m1):
+            d1 = MultivariateNormal(m1, mvn1.lazy_covariance_matrix)
+            return d1.kl_divergence(mvn2)
+
+        g = jax.grad(f)(mvn1.mean)
+        s2 = np.asarray(mvn2.lazy_covariance_matrix.to_dense())
+        expected = -np.linalg.solve(s2, np.asarray(mvn2.mean - mvn1.mean))
+        self.assertAllClose(g, expected, rtol=1e-6, atol=1e-6)
