@@ -1,0 +1,556 @@
+"""Cross-library numerical oracle: this package vs the ACTUAL torch reference.
+
+VERDICT r4 #1: dense-math oracles can be wrong the same way on both sides;
+the reference itself cannot.  Every spec builds the SAME operator (identical
+leaf values) in both libraries and asserts that values AND leaf gradients
+agree for the five core function paths:
+
+* ``solve``                  — exact (Cholesky) and CG regimes
+* ``inv_quad_logdet``        — exact path; stochastic path with IDENTICAL
+                               probe vectors injected on both sides (the
+                               reference via a ``_probe_vectors_and_norms``
+                               monkeypatch, reference
+                               functions/_inv_quad_logdet.py:79-115; ours via
+                               the ``_stochastic_iqld`` probe arguments)
+* ``root_decomposition``     — reconstruction residuals under the forced
+                               Lanczos regime
+* ``sqrt_inv_matmul``        — CIQ values (+ grads on dense/added-diag)
+* ``pivoted_cholesky``       — factors elementwise (same greedy pivot order)
+
+over 11 operator types (Dense, Diag, AddedDiag, LowRankRootAddedDiag,
+Kronecker, KroneckerAddedDiag, Toeplitz, Interpolated(+diag), BlockDiag,
+Cat, Sum).  Tolerance bar: the reference's shipped-harness defaults
+(/root/reference/linear_operator/test/linear_operator_test_case.py:516-535).
+
+The reference is driven through its PUBLIC API only — nothing is copied.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+from typing import Callable
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/reference")
+
+import torch  # noqa: E402
+
+torch.set_default_dtype(torch.float64)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+import linear_operator.operators as R  # noqa: E402  (the torch reference)
+from linear_operator import settings as rs  # noqa: E402
+
+import linear_operator_tpu.operators as O  # noqa: E402
+from linear_operator_tpu import functions as F  # noqa: E402
+from linear_operator_tpu import settings as js  # noqa: E402
+
+
+def tj(x):
+    return jnp.asarray(x, jnp.float64)
+
+
+def tt(x):
+    return torch.tensor(np.asarray(x), dtype=torch.float64)
+
+
+def _psd(rng, n, scale=1.0):
+    a = rng.standard_normal((n, n))
+    return scale * (a @ a.T + n * np.eye(n))
+
+
+@dataclass
+class Spec:
+    name: str
+    leaves: list  # np arrays, the differentiable leaves (same order both sides)
+    build_jax: Callable  # (*jax_leaves) -> LinearOperator
+    build_torch: Callable  # (*torch_leaves) -> reference LinearOperator
+    n: int = 48
+    static: dict = field(default_factory=dict)  # non-differentiable extras
+    # Gradient-convention canonicalization: torch's Cholesky backward returns
+    # SYMMETRIZED matrix gradients while raw custom VJPs (both libraries' CG
+    # paths, our solve VJP) return the free-parametrization gradient.  Both
+    # are identical as linear functionals on admissible (symmetric-matrix)
+    # perturbations, so gradients are projected onto that tangent space
+    # before elementwise comparison: "sym" leaves get (G + G^T)/2, "free"
+    # leaves (vectors, roots, Toeplitz columns — anything whose matrix map
+    # has symmetric basis images) compare raw.  ``proj`` overrides for
+    # non-separable cases (Cat's row-blocks of one symmetric matrix).
+    kinds: list = field(default_factory=list)
+    proj: Callable | None = None
+
+
+def _sym_g(g):
+    return (g + np.swapaxes(g, -1, -2)) / 2.0
+
+
+def _proj_cat_rows(grads):
+    """Cat's leaves are row-blocks of ONE symmetric matrix: reassemble,
+    symmetrize, re-split (per-leaf symmetrization would be wrong)."""
+    gt, gb = grads
+    G = _sym_g(np.concatenate([gt, gb], axis=0))
+    return [G[: gt.shape[0]], G[gt.shape[0]:]]
+
+
+def _project(spec, grads):
+    grads = [g for g in grads]
+    if spec.proj is not None:
+        live = [g for g in grads if g is not None]
+        if len(live) == len(grads):
+            return spec.proj(grads)
+        return grads
+    out = []
+    for g, k in zip(grads, spec.kinds or ["free"] * len(grads)):
+        out.append(_sym_g(g) if (k == "sym" and g is not None) else g)
+    return out
+
+
+def _specs() -> list[Spec]:
+    rng = np.random.default_rng(20250820)
+    n = 48
+    out = []
+
+    K = _psd(rng, n)
+    out.append(
+        Spec("dense", [K], lambda k: O.DenseLinearOperator(k), lambda k: R.DenseLinearOperator(k), kinds=["sym"])
+    )
+
+    d = rng.uniform(0.5, 2.5, n)
+    out.append(
+        Spec("diag", [d], lambda v: O.DiagLinearOperator(v), lambda v: R.DiagLinearOperator(v), kinds=["free"])
+    )
+
+    K2, d2 = _psd(rng, n), rng.uniform(0.5, 2.5, n)
+    out.append(
+        Spec(
+            "added_diag",
+            [K2, d2],
+            lambda k, v: O.AddedDiagLinearOperator(
+                O.DenseLinearOperator(k), O.DiagLinearOperator(v)
+            ),
+            lambda k, v: R.AddedDiagLinearOperator(
+                R.DenseLinearOperator(k), R.DiagLinearOperator(v)
+            ),
+            kinds=["sym", "free"],
+        )
+    )
+
+    U, d3 = rng.standard_normal((n, 5)), rng.uniform(0.5, 2.5, n)
+    out.append(
+        Spec(
+            "low_rank_root_added_diag",
+            [U, d3],
+            lambda u, v: O.LowRankRootAddedDiagLinearOperator(
+                O.LowRankRootLinearOperator(O.DenseLinearOperator(u)),
+                O.DiagLinearOperator(v),
+            ),
+            lambda u, v: R.LowRankRootAddedDiagLinearOperator(
+                R.LowRankRootLinearOperator(u), R.DiagLinearOperator(v)
+            ),
+            kinds=["free", "free"],
+        )
+    )
+
+    A, B = _psd(rng, 6), _psd(rng, 8)
+    out.append(
+        Spec(
+            "kronecker",
+            [A, B],
+            lambda a, b: O.KroneckerProductLinearOperator(
+                O.DenseLinearOperator(a), O.DenseLinearOperator(b)
+            ),
+            lambda a, b: R.KroneckerProductLinearOperator(
+                R.DenseLinearOperator(a), R.DenseLinearOperator(b)
+            ),
+            kinds=["sym", "sym"],
+        )
+    )
+
+    A2, B2 = _psd(rng, 6), _psd(rng, 8)
+    c = np.asarray(0.7)
+    out.append(
+        Spec(
+            "kronecker_added_diag",
+            [A2, B2, c],
+            lambda a, b, cc: O.KroneckerProductLinearOperator(
+                O.DenseLinearOperator(a), O.DenseLinearOperator(b)
+            ).add_diagonal(cc),
+            lambda a, b, cc: R.KroneckerProductLinearOperator(
+                R.DenseLinearOperator(a), R.DenseLinearOperator(b)
+            ).add_diagonal(cc),
+            kinds=["sym", "sym", "free"],
+        )
+    )
+
+    # SPD Toeplitz column: exp decay dominated by the diagonal
+    col = 3.0 * np.exp(-0.35 * np.arange(n))
+    col[0] = 5.0
+    out.append(
+        Spec(
+            "toeplitz",
+            [col],
+            lambda ccol: O.ToeplitzLinearOperator(ccol),
+            lambda ccol: R.ToeplitzLinearOperator(ccol),
+            kinds=["free"],
+        )
+    )
+
+    # Interpolated W K W^T (+ diag, for invertibility): shared left/right
+    nb = 12
+    Kb = _psd(rng, nb)
+    idx = rng.integers(0, nb, (n, 3))
+    vals = rng.uniform(0.2, 1.0, (n, 3))
+    d4 = rng.uniform(0.5, 1.5, n)
+    out.append(
+        Spec(
+            "interpolated_plus_diag",
+            [Kb, vals, d4],
+            lambda kb, v, dd: O.InterpolatedLinearOperator(
+                O.DenseLinearOperator(kb),
+                jnp.asarray(idx, jnp.int32),
+                v,
+                jnp.asarray(idx, jnp.int32),
+                v,
+            ).add_diagonal(dd),
+            lambda kb, v, dd: R.InterpolatedLinearOperator(
+                R.DenseLinearOperator(kb),
+                torch.tensor(idx, dtype=torch.long),
+                v,
+                torch.tensor(idx, dtype=torch.long),
+                v,
+            ).add_diagonal(dd),
+            static={"idx": idx},
+            kinds=["sym", "free", "free"],
+        )
+    )
+
+    blocks = np.stack([_psd(rng, 12) for _ in range(4)])
+    out.append(
+        Spec(
+            "block_diag",
+            [blocks],
+            lambda bl: O.BlockDiagLinearOperator(O.DenseLinearOperator(bl)),
+            lambda bl: R.BlockDiagLinearOperator(R.DenseLinearOperator(bl)),
+            kinds=["sym"],
+        )
+    )
+
+    Kc = _psd(rng, n)
+    top, bottom = Kc[:24], Kc[24:]
+    out.append(
+        Spec(
+            "cat",
+            [top, bottom],
+            lambda t, b: O.CatLinearOperator(
+                (O.DenseLinearOperator(t), O.DenseLinearOperator(b)), cat_dim=-2
+            ),
+            lambda t, b: R.CatLinearOperator(
+                R.DenseLinearOperator(t), R.DenseLinearOperator(b), dim=-2
+            ),
+            proj=_proj_cat_rows,
+        )
+    )
+
+    Ks1, Ks2 = _psd(rng, n, 0.6), _psd(rng, n, 0.4)
+    out.append(
+        Spec(
+            "sum",
+            [Ks1, Ks2],
+            lambda a, b: O.DenseLinearOperator(a) + O.DenseLinearOperator(b),
+            lambda a, b: R.DenseLinearOperator(a) + R.DenseLinearOperator(b),
+            kinds=["sym", "sym"],
+        )
+    )
+
+    return out
+
+
+SPECS = {s.name: s for s in _specs()}
+SPEC_NAMES = list(SPECS)
+
+_rng_io = np.random.default_rng(7)
+RHS = {s.name: _rng_io.standard_normal((s.n, 2)) for s in SPECS.values()}
+W = {s.name: _rng_io.standard_normal((s.n, 2)) for s in SPECS.values()}
+PROBES = {s.name: _rng_io.standard_normal((s.n, 8)) for s in SPECS.values()}
+
+
+def _torch_grads(spec, loss_fn):
+    leaves = [tt(x).requires_grad_(True) for x in spec.leaves]
+    loss = loss_fn(spec.build_torch(*leaves))
+    grads = torch.autograd.grad(loss, leaves, allow_unused=True)
+    return float(loss.detach()), [
+        None if g is None else np.asarray(g.detach()) for g in grads
+    ]
+
+
+def _jax_grads(spec, loss_fn):
+    def f(*leaves):
+        return loss_fn(spec.build_jax(*leaves))
+
+    leaves = [tj(x) for x in spec.leaves]
+    val, grads = jax.value_and_grad(f, argnums=tuple(range(len(leaves))))(*leaves)
+    return float(val), [np.asarray(g) for g in grads]
+
+
+def _assert_grads_close(spec, gj, gt, rtol, atol, ctx=""):
+    assert len(gj) == len(gt)
+    gj, gt = _project(spec, gj), _project(spec, gt)
+    for i, (a, b) in enumerate(zip(gj, gt)):
+        if b is None:
+            continue  # reference did not use this leaf (e.g. unused static)
+        np.testing.assert_allclose(
+            a, b, rtol=rtol, atol=atol, err_msg=f"{ctx} leaf {i}"
+        )
+
+
+def _exact_ctx():
+    # both libraries' default dispatch: Cholesky below max_cholesky_size
+    return rs.max_cholesky_size(800), js.max_cholesky_size(800)
+
+
+def _cg_ctx():
+    return (
+        rs.max_cholesky_size(0),
+        rs.cg_tolerance(1e-12),
+        rs.max_cg_iterations(400),
+        rs.max_lanczos_quadrature_iterations(32),
+        rs.min_preconditioning_size(10**9),
+        js.max_cholesky_size(0),
+        js.cg_tolerance(1e-12),
+        js.max_cg_iterations(400),
+        js.max_lanczos_quadrature_iterations(32),
+        js.min_preconditioning_size(10**9),
+    )
+
+
+class _Ctx:
+    def __init__(self, *ctxs):
+        self.ctxs = ctxs
+
+    def __enter__(self):
+        for c in self.ctxs:
+            c.__enter__()
+
+    def __exit__(self, *a):
+        for c in reversed(self.ctxs):
+            c.__exit__(*a)
+
+
+# ---------------------------------------------------------------------------
+# solve
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", SPEC_NAMES)
+def test_solve_exact_values_and_grads(name):
+    spec = SPECS[name]
+    rhs, w = RHS[name], W[name]
+
+    with _Ctx(*_exact_ctx()):
+        vt, gt = _torch_grads(spec, lambda op: (op.solve(tt(rhs)) * tt(w)).sum())
+        vj, gj = _jax_grads(spec, lambda op: jnp.sum(op.solve(tj(rhs)) * tj(w)))
+
+    np.testing.assert_allclose(vj, vt, rtol=1e-8, atol=1e-9)
+    _assert_grads_close(spec, gj, gt, rtol=1e-6, atol=1e-8, ctx=f"solve-exact {name}")
+
+
+@pytest.mark.parametrize("name", SPEC_NAMES)
+def test_solve_cg_values_and_grads(name):
+    spec = SPECS[name]
+    rhs, w = RHS[name], W[name]
+
+    with _Ctx(*_cg_ctx()):
+        vt, gt = _torch_grads(spec, lambda op: (op.solve(tt(rhs)) * tt(w)).sum())
+        vj, gj = _jax_grads(spec, lambda op: jnp.sum(op.solve(tj(rhs)) * tj(w)))
+
+    # tolerance floor: the REFERENCE's CG stalls around 1e-6 residual on some
+    # structured operators (its own NumericalWarning reports 400 iters at
+    # 5e-7) — the comparison cannot be tighter than the reference's solver
+    np.testing.assert_allclose(vj, vt, rtol=2e-5, atol=1e-6)
+    _assert_grads_close(spec, gj, gt, rtol=5e-4, atol=1e-5, ctx=f"solve-cg {name}")
+
+
+# ---------------------------------------------------------------------------
+# inv_quad_logdet
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", SPEC_NAMES)
+def test_inv_quad_logdet_exact_values_and_grads(name):
+    spec = SPECS[name]
+    rhs = RHS[name]
+
+    def t_loss(op):
+        iq, ld = op.inv_quad_logdet(tt(rhs), logdet=True)
+        return iq + 0.7 * ld
+
+    def j_loss(op):
+        iq, ld = op.inv_quad_logdet(tj(rhs), logdet=True)
+        return iq + 0.7 * ld
+
+    with _Ctx(*_exact_ctx()):
+        vt, gt = _torch_grads(spec, t_loss)
+        vj, gj = _jax_grads(spec, j_loss)
+
+    np.testing.assert_allclose(vj, vt, rtol=1e-8, atol=1e-8)
+    _assert_grads_close(spec, gj, gt, rtol=1e-6, atol=1e-8, ctx=f"iqld-exact {name}")
+
+
+# Spec types where the REFERENCE actually runs the generic CG+SLQ estimator:
+# Diag / LowRankRootAddedDiag / Kronecker(+diag) / BlockDiag route
+# inv_quad_logdet through exact structural overrides (so do we, via structure
+# hooks — covered by the exact-path test above), which never consume probes.
+_GENERIC_STOCH_SPECS = [
+    "dense",
+    "added_diag",
+    "toeplitz",
+    "interpolated_plus_diag",
+    "cat",
+    "sum",
+]
+
+
+@pytest.mark.parametrize("name", _GENERIC_STOCH_SPECS)
+def test_inv_quad_logdet_stochastic_same_probes(name):
+    """Both libraries run the CG+SLQ estimator on IDENTICAL probe vectors:
+    the estimator is then deterministic up to solver convergence, so values
+    and the stochastic trace-gradients must agree."""
+    spec = SPECS[name]
+    rhs = RHS[name]
+    probes_raw = PROBES[name]
+    norms = np.linalg.norm(probes_raw, axis=0, keepdims=True)  # (1, m)
+    probes = probes_raw / norms
+
+    # ---- reference: monkeypatch the probe draw ------------------------
+    orig = R.LinearOperator._probe_vectors_and_norms
+
+    def patched(self):
+        return tt(probes), tt(norms)
+
+    def t_loss(op):
+        iq, ld = op.inv_quad_logdet(tt(rhs), logdet=True)
+        return iq + 0.7 * ld
+
+    R.LinearOperator._probe_vectors_and_norms = patched
+    try:
+        with _Ctx(*_cg_ctx()):
+            vt, gt = _torch_grads(spec, t_loss)
+    finally:
+        R.LinearOperator._probe_vectors_and_norms = orig
+
+    # ---- ours: the probe-explicit stochastic core ---------------------
+    from linear_operator_tpu.functions._inv_quad_logdet import _stochastic_iqld
+
+    def j_loss(op):
+        iq, ld = _stochastic_iqld(op, tj(rhs), tj(probes), tj(probes), tj(norms))
+        return jnp.sum(iq) + 0.7 * ld
+
+    with _Ctx(*_cg_ctx()):
+        vj, gj = _jax_grads(spec, j_loss)
+
+    np.testing.assert_allclose(vj, vt, rtol=5e-4, atol=5e-4)
+    _assert_grads_close(spec, gj, gt, rtol=1e-3, atol=1e-4, ctx=f"iqld-stoch {name}")
+
+
+# ---------------------------------------------------------------------------
+# root_decomposition residuals
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", SPEC_NAMES)
+def test_root_decomposition_residuals(name):
+    spec = SPECS[name]
+    Kd = np.asarray(spec.build_jax(*[tj(x) for x in spec.leaves]).to_dense())
+    scale = np.linalg.norm(Kd)
+
+    with _Ctx(
+        rs.max_cholesky_size(0),
+        rs.max_root_decomposition_size(100),
+        js.max_cholesky_size(0),
+        js.max_root_decomposition_size(100),
+    ):
+        rt = spec.build_torch(*[tt(x) for x in spec.leaves]).root_decomposition().root
+        resid_t = np.linalg.norm(
+            np.asarray((rt @ rt.mT).to_dense().detach()) - Kd
+        ) / scale
+        rj = spec.build_jax(*[tj(x) for x in spec.leaves]).root_decomposition().root
+        rjd = np.asarray(rj.to_dense())
+        resid_j = np.linalg.norm(rjd @ rjd.T - Kd) / scale
+
+    assert resid_t < 1e-5, f"reference residual {resid_t}"
+    assert resid_j < 1e-5, f"tpu residual {resid_j}"
+
+
+# ---------------------------------------------------------------------------
+# sqrt_inv_matmul
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", SPEC_NAMES)
+def test_sqrt_inv_matmul_values(name):
+    spec = SPECS[name]
+    rhs = RHS[name]
+
+    with _Ctx(
+        rs.minres_tolerance(1e-10),
+        rs.max_cg_iterations(400),
+        js.minres_tolerance(1e-10),
+        js.max_cg_iterations(400),
+    ):
+        vt = np.asarray(
+            spec.build_torch(*[tt(x) for x in spec.leaves])
+            .sqrt_inv_matmul(tt(rhs))
+            .detach()
+        )
+        vj = np.asarray(
+            F.sqrt_inv_matmul(spec.build_jax(*[tj(x) for x in spec.leaves]), tj(rhs))
+        )
+
+    scale = np.linalg.norm(vt)
+    np.testing.assert_allclose(vj / scale, vt / scale, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("name", ["dense", "added_diag"])
+def test_sqrt_inv_matmul_grads(name):
+    spec = SPECS[name]
+    rhs, w = RHS[name], W[name]
+
+    with _Ctx(
+        rs.minres_tolerance(1e-10),
+        rs.max_cg_iterations(400),
+        js.minres_tolerance(1e-10),
+        js.max_cg_iterations(400),
+    ):
+        vt, gt = _torch_grads(
+            spec, lambda op: (op.sqrt_inv_matmul(tt(rhs)) * tt(w)).sum()
+        )
+        vj, gj = _jax_grads(
+            spec, lambda op: jnp.sum(F.sqrt_inv_matmul(op, tj(rhs)) * tj(w))
+        )
+
+    np.testing.assert_allclose(vj, vt, rtol=1e-3, atol=1e-4)
+    _assert_grads_close(spec, gj, gt, rtol=5e-3, atol=5e-4, ctx=f"sqrt-inv-grad {name}")
+
+
+# ---------------------------------------------------------------------------
+# pivoted_cholesky factors
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", SPEC_NAMES)
+def test_pivoted_cholesky_factors(name):
+    spec = SPECS[name]
+    rank = 10
+
+    Lt = np.asarray(
+        spec.build_torch(*[tt(x) for x in spec.leaves]).pivoted_cholesky(rank=rank).detach()
+    )
+    Lj = np.asarray(
+        F.pivoted_cholesky(spec.build_jax(*[tj(x) for x in spec.leaves]), rank=rank)
+    )
+    np.testing.assert_allclose(Lj, Lt, rtol=1e-6, atol=1e-7)
