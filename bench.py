@@ -75,14 +75,14 @@ def build_benchmark(n=100_000, d=3, num_probes=10, block_rows=8192):
     params = model.init_params(d)
 
     def loss_fn(params, x, y):
-        # Nystrom-400 preconditioner (BASELINE.md roofline table): reaches
-        # the 20-iteration SLQ floor at ~20 ms construction, where pivoted
-        # Cholesky needs 242 ms (sequential) for 24 iterations.
+        # preconditioner_mode("auto") resolves to Nystrom-400 at N=1e5
+        # (BASELINE.md roofline table): reaches the 20-iteration SLQ floor at
+        # ~20 ms construction, where pivoted Cholesky needs 242 ms
+        # (sequential) for 24 iterations.  Round 5: the shipped auto policy
+        # replaces the former hand-tuned mode+rank overrides.
         with settings.max_cholesky_size(0), settings.num_trace_samples(num_probes), \
              settings.max_cg_iterations(100), settings.cg_tolerance(1.0), \
-             settings.preconditioner_mode("nystrom"), \
-             settings.max_preconditioner_size(400), \
-             settings.min_preconditioning_size(2000), \
+             settings.preconditioner_mode("auto"), \
              settings.max_lanczos_quadrature_iterations(20):
             return model.neg_mll(params, x, y, key=jax.random.PRNGKey(1))
 
@@ -285,14 +285,14 @@ def bench_ciq_sampling(n=32_768, d=3, num_samples=16) -> None:
     def step(params, x, key):
         K = model.train_operator(params, x)
         # round 4: preconditioned msMINRES-CIQ (reference utils/minres.py:17,
-        # contour_integral_quad.py:44-48).  Nystrom-400 cuts the shifted-MINRES
+        # contour_integral_quad.py:44-48).  auto -> Nystrom-400 here; it
+        # cuts the shifted-MINRES
         # iteration count ~3x at this shape AND tightens the sampling
         # covariance (scripts/profile_ciq_precond.py: 30.4 -> 86.7 samples/s;
         # the default rank-15 pivoted preconditioner is a no-op here).
         with settings.ciq_samples(True), settings.minres_tolerance(1e-3), \
              settings.num_contour_quadrature(15), \
-             settings.preconditioner_mode("nystrom"), \
-             settings.max_preconditioner_size(400):
+             settings.preconditioner_mode("auto"):
             s = K.zero_mean_mvn_samples(num_samples, key=key)
         return jnp.sum(s * s)
 
@@ -343,9 +343,7 @@ def bench_posterior(n=100_000, d=3, m=64, block_rows=8192) -> None:
 
     def predict(params, x, y, x_star):
         with settings.max_cholesky_size(0), settings.max_cg_iterations(100), \
-             settings.cg_tolerance(1.0), settings.preconditioner_mode("nystrom"), \
-             settings.max_preconditioner_size(400), \
-             settings.min_preconditioning_size(2000):
+             settings.cg_tolerance(1.0), settings.preconditioner_mode("auto"):
             mean, var = model.posterior(params, x, y, x_star)
         return jnp.sum(mean) + jnp.sum(var)
 

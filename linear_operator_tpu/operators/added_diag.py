@@ -63,6 +63,15 @@ def nystrom_factor(op, rank: int) -> jax.Array:
     return jnp.swapaxes(lt, -1, -2)
 
 
+def auto_preconditioner_rank(n: int, k_setting: int = 15) -> int:
+    """Rank policy for ``preconditioner_mode("auto")``: ``clip(n // 64, 50,
+    400)`` (never below the user's ``max_preconditioner_size``, never above
+    n).  400 is the measured iteration-floor rank at N=1e5 (BASELINE.md);
+    n//64 tapers construction cost at smaller N where fewer landmarks
+    already cover the spectrum."""
+    return min(max(min(max(n // 64, 50), 400), k_setting), n)
+
+
 @operator_class
 class AddedDiagLinearOperator(SumLinearOperator):
     """Constructed as SumLinearOperator((op, diag_op)) (reference :21-60).
@@ -134,7 +143,15 @@ class AddedDiagLinearOperator(SumLinearOperator):
         from ..functions import pivoted_cholesky
 
         k = settings.max_preconditioner_size.value()
-        if settings.preconditioner_mode.value() == "nystrom":
+        mode = settings.preconditioner_mode.value()
+        if mode == "auto":
+            # N-scaled Nystrom (VERDICT r4 #3): rank-15 pivoted is a measured
+            # no-op on broad spectra at bench scales (BASELINE.md rounds 1-4);
+            # auto picks the policy a TPU user should get without hand-tuning.
+            return nystrom_factor(
+                self._linear_op, rank=auto_preconditioner_rank(self.shape[-1], k)
+            )
+        if mode == "nystrom":
             return nystrom_factor(self._linear_op, rank=k)
         return pivoted_cholesky(self._linear_op, rank=k)
 

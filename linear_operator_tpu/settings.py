@@ -306,6 +306,14 @@ class preconditioner_mode(_value_context):
     batched kernel evaluation + a k x k Cholesky, so rank 500-2000 costs
     milliseconds where pivoted rank 200 costs ~0.25 s; higher affordable
     rank usually beats pivot adaptivity on CG iteration count.
+    "auto" (recommended on TPU): Nystrom with rank scaled to N —
+    ``clip(n // 64, 50, 400)``, never below ``max_preconditioner_size`` —
+    the measured sweet spot from BASELINE.md: the reference's default
+    pivoted-rank-15 is algorithmically insufficient (a no-op) on broad
+    spectra at N >= 1e4, while Nystrom-400 costs ~20 ms at N=1e5 and reaches
+    the CG/SLQ iteration floor.  Still gated by
+    ``min_preconditioning_size``/``max_preconditioner_size(0)`` like the
+    reference (added_diag_linear_operator.py:108-116).
     """
 
     _global_value = "pivoted"

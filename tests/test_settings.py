@@ -346,6 +346,65 @@ class TestPreconditionerFactorGating(BaseTestCase):
             self.assertIs(op.with_preconditioner(), op)
 
 
+class TestAutoPreconditionerMode(BaseTestCase):
+    """Round-5 (VERDICT r4 #3): ``preconditioner_mode("auto")`` picks an
+    N-scaled Nystrom factor so large-N users get a useful preconditioner
+    without hand-tuning; parity default ("pivoted", rank 15) unchanged."""
+
+    def test_rank_policy(self):
+        from linear_operator_tpu.operators.added_diag import auto_preconditioner_rank
+
+        self.assertEqual(auto_preconditioner_rank(100_000), 400)
+        self.assertEqual(auto_preconditioner_rank(32_768), 400)
+        self.assertEqual(auto_preconditioner_rank(8_192), 128)
+        self.assertEqual(auto_preconditioner_rank(3_000), 50)  # floor
+        self.assertEqual(auto_preconditioner_rank(3_000, k_setting=80), 80)
+        self.assertEqual(auto_preconditioner_rank(40), 40)  # never above n
+
+    def _op(self, n=2100):
+        import numpy as np
+
+        from linear_operator_tpu.operators import (
+            AddedDiagLinearOperator,
+            DiagLinearOperator,
+            LowRankRootLinearOperator,
+            DenseLinearOperator,
+        )
+
+        rng = np.random.default_rng(0)
+        u = jnp.asarray(rng.standard_normal((n, 6)), jnp.float64)
+        return AddedDiagLinearOperator(
+            LowRankRootLinearOperator(DenseLinearOperator(u)),
+            DiagLinearOperator(jnp.full((n,), 0.8, jnp.float64)),
+        )
+
+    def test_auto_builds_nystrom_at_auto_rank(self):
+        op = self._op()
+        with settings.preconditioner_mode("auto"), settings.max_cholesky_size(0):
+            L = op._build_precond_factor()
+        self.assertEqual(L.shape, (2100, 50))
+
+    def test_auto_preconditioned_solve_correct(self):
+        import numpy as np
+
+        op = self._op()
+        rhs = jnp.asarray(
+            np.random.default_rng(1).standard_normal((2100, 2)), jnp.float64
+        )
+        with settings.preconditioner_mode("auto"), settings.max_cholesky_size(0), \
+             settings.cg_tolerance(1e-10), settings.max_cg_iterations(200):
+            # route through the generic CG dispatch (not the Woodbury closed
+            # form) by using the private solve-via-CG path
+            closure, _, _ = op._preconditioner()
+            self.assertIsNotNone(closure)
+            x = op._solve_via_cg(rhs, preconditioner=closure).solution
+        expected = jnp.linalg.solve(op.to_dense(), rhs)
+        self.assertAllClose(x, expected, rtol=1e-6, atol=1e-6)
+
+    def test_default_mode_unchanged(self):
+        self.assertEqual(settings.preconditioner_mode.value(), "pivoted")
+
+
 class TestDeterministicProbesGate(BaseTestCase):
     """Round-5 parity nit (VERDICT r4): ``deterministic_probes`` must gate
     the fixed-key probe fallback.  Flag OFF + ``key=None`` warns that probes
