@@ -28,7 +28,7 @@ import jax.numpy as jnp
 _BASELINE_PATH = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
 
 
-def _emit(metric: str, value: float, unit: str) -> None:
+def _emit(metric: str, value: float, unit: str, **extras) -> None:
     try:
         with open(_BASELINE_PATH) as f:
             base_all = json.load(f)
@@ -45,17 +45,31 @@ def _emit(metric: str, value: float, unit: str) -> None:
     base = base_all.setdefault(metric, value)
     with open(_BASELINE_PATH, "w") as f:
         json.dump(base_all, f)
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(value, 4),
-                "unit": unit,
-                "vs_baseline": round(value / base, 3),
-            }
-        ),
-        flush=True,
-    )
+    record = {
+        "metric": metric,
+        "value": round(value, 4),
+        "unit": unit,
+        "vs_baseline": round(value / base, 3),
+    }
+    for k, v in extras.items():
+        if v is not None:
+            record[k] = round(float(v), 3)
+    print(json.dumps(record), flush=True)
+
+
+def _timed(call, runs: int):
+    """(steady_dt, compile_s): time the FIRST call (trace+lower+compile+run
+    over the remote-compile tunnel) separately from the steady state, so a
+    compile-time regression is visible in BENCH_*.json instead of silently
+    eating the driver's 560 s budget (VERDICT r4 #4)."""
+    t0 = time.perf_counter()
+    call()
+    first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        call()
+    dt = (time.perf_counter() - t0) / runs
+    return dt, max(first - dt, 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -91,13 +105,8 @@ def build_benchmark(n=100_000, d=3, num_probes=10, block_rows=8192):
 
 def bench_mll() -> None:
     fn, args = build_benchmark()
-    float(fn(*args))  # compile + warm up (host-transfer fence)
-    n_runs = 3
-    t0 = time.perf_counter()
-    for _ in range(n_runs):
-        float(fn(*args))
-    dt = (time.perf_counter() - t0) / n_runs
-    _emit("gp_mll_n100k_cg_slq", 1.0 / dt, "solves/s")
+    dt, compile_s = _timed(lambda: float(fn(*args)), 3)
+    _emit("gp_mll_n100k_cg_slq", 1.0 / dt, "solves/s", compile_s=compile_s)
 
 
 def bench_mll_grad() -> None:
@@ -115,17 +124,14 @@ def bench_mll_grad() -> None:
     fn, args = build_benchmark()
     params, x, y = args
     grad_fn = jax.jit(jax.value_and_grad(fn.__wrapped__))
-    val, g = grad_fn(params, x, y)
-    float(val)
-    float(jax.tree_util.tree_reduce(lambda a, b: a + jnp.sum(b), g, 0.0))
-    n_runs = 3
-    t0 = time.perf_counter()
-    for _ in range(n_runs):
+
+    def call():
         val, g = grad_fn(params, x, y)
         float(val)
         float(jax.tree_util.tree_reduce(lambda a, b: a + jnp.sum(b), g, 0.0))
-    dt = (time.perf_counter() - t0) / n_runs
-    _emit("gp_train_step_n100k", 1.0 / dt, "steps/s")
+
+    dt, compile_s = _timed(call, 3)
+    _emit("gp_train_step_n100k", 1.0 / dt, "steps/s", compile_s=compile_s)
 
 
 # ---------------------------------------------------------------------------
@@ -156,13 +162,8 @@ def bench_woodbury_10m(n=10_000_000, rank=20) -> None:
 
     y = jax.random.normal(jax.random.PRNGKey(1), (n, 1), dtype=jnp.float32)
     f = jax.jit(step)
-    float(f(u, noise, y))
-    t0 = time.perf_counter()
-    runs = 20
-    for _ in range(runs):
-        float(f(u, noise, y))
-    dt = (time.perf_counter() - t0) / runs
-    _emit("woodbury_10m_solve_iqld", 1.0 / dt, "solves/s")
+    dt, compile_s = _timed(lambda: float(f(u, noise, y)), 20)
+    _emit("woodbury_10m_solve_iqld", 1.0 / dt, "solves/s", compile_s=compile_s)
 
 
 # ---------------------------------------------------------------------------
@@ -186,13 +187,8 @@ def bench_batched_dense(b=64, n=1024) -> None:
         return jnp.sum(iq) + jnp.sum(ld) + jnp.sum(root)
 
     f = jax.jit(step)
-    float(f(a, rhs))
-    t0 = time.perf_counter()
-    runs = 10
-    for _ in range(runs):
-        float(f(a, rhs))
-    dt = (time.perf_counter() - t0) / runs
-    _emit("batched_dense_chol_64x1k", b / dt, "matrices/s")
+    dt, compile_s = _timed(lambda: float(f(a, rhs)), 10)
+    _emit("batched_dense_chol_64x1k", b / dt, "matrices/s", compile_s=compile_s)
 
 
 # ---------------------------------------------------------------------------
@@ -223,13 +219,8 @@ def bench_kron_toeplitz(m=180) -> None:
 
     y = jax.random.normal(jax.random.PRNGKey(0), (n, 1), dtype=jnp.float32)
     f = jax.jit(step)
-    float(f(jnp.asarray(0.3, jnp.float32), y))
-    t0 = time.perf_counter()
-    runs = 5
-    for _ in range(runs):
-        float(f(jnp.asarray(0.3, jnp.float32), y))
-    dt = (time.perf_counter() - t0) / runs
-    _emit("kron_toeplitz_32k_solve_logdet", 1.0 / dt, "solves/s")
+    dt, compile_s = _timed(lambda: float(f(jnp.asarray(0.3, jnp.float32), y)), 5)
+    _emit("kron_toeplitz_32k_solve_logdet", 1.0 / dt, "solves/s", compile_s=compile_s)
 
 
 # ---------------------------------------------------------------------------
@@ -256,13 +247,8 @@ def bench_ski(n=200_000, grid_size=256) -> None:
             return model.neg_mll(params, x, y, key=jax.random.PRNGKey(1))
 
     f = jax.jit(loss_fn)
-    float(f(params, x, y))
-    t0 = time.perf_counter()
-    runs = 3
-    for _ in range(runs):
-        float(f(params, x, y))
-    dt = (time.perf_counter() - t0) / runs
-    _emit("ski_200k_mll", 1.0 / dt, "solves/s")
+    dt, compile_s = _timed(lambda: float(f(params, x, y)), 3)
+    _emit("ski_200k_mll", 1.0 / dt, "solves/s", compile_s=compile_s)
 
 
 # ---------------------------------------------------------------------------
@@ -297,13 +283,8 @@ def bench_ciq_sampling(n=32_768, d=3, num_samples=16) -> None:
         return jnp.sum(s * s)
 
     f = jax.jit(step)
-    float(f(params, x, jax.random.PRNGKey(1)))
-    t0 = time.perf_counter()
-    runs = 3
-    for _ in range(runs):
-        float(f(params, x, jax.random.PRNGKey(1)))
-    dt = (time.perf_counter() - t0) / runs
-    _emit("ciq_sampling_n32k", num_samples / dt, "samples/s")
+    dt, compile_s = _timed(lambda: float(f(params, x, jax.random.PRNGKey(1))), 3)
+    _emit("ciq_sampling_n32k", num_samples / dt, "samples/s", compile_s=compile_s)
 
 
 # ---------------------------------------------------------------------------
@@ -348,13 +329,51 @@ def bench_posterior(n=100_000, d=3, m=64, block_rows=8192) -> None:
         return jnp.sum(mean) + jnp.sum(var)
 
     fn = jax.jit(predict)
-    float(fn(params, x, y, x_star))  # compile + warm (host-transfer fence)
-    n_runs = 3
+    dt, compile_s = _timed(lambda: float(fn(params, x, y, x_star)), 3)
+    _emit("gp_posterior_n100k_m64", 1.0 / dt, "predictions/s", compile_s=compile_s)
+
+
+def bench_love_serving(n=100_000, d=3, m=1024, block_rows=8192) -> None:
+    """Config 3d (cached serving): LOVE posterior — build the solve/root
+    cache ONCE, then steady-state points/s at m=1024 query batches.  This is
+    the measured ~20x serving win over the uncached path (VERDICT r4 #6:
+    promoted from scripts/profile_love_serving.py so it is
+    regression-tracked).  ``cache_build_s`` records the one-time cache cost
+    (compile + run, the LOVE amortization denominator)."""
+    from linear_operator_tpu import settings
+    from linear_operator_tpu.models import ExactGPRegression
+
+    model = ExactGPRegression(block_rows=block_rows)
+    kx, ky, ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = jax.random.normal(kx, (n, d), dtype=jnp.float32)
+    y = jnp.sin(3.0 * x[:, 0]) + 0.1 * jax.random.normal(ky, (n,), dtype=jnp.float32)
+    x_star = jax.random.normal(ks, (m, d), dtype=jnp.float32)
+    params = model.init_params(d)
+
+    def build_cache(params, x, y):
+        with settings.max_cholesky_size(0), settings.max_cg_iterations(100), \
+             settings.cg_tolerance(1.0), settings.preconditioner_mode("auto"), \
+             settings.max_root_decomposition_size(100):
+            return model.posterior_cache(params, x, y, key=jax.random.PRNGKey(2))
+
     t0 = time.perf_counter()
-    for _ in range(n_runs):
-        float(fn(params, x, y, x_star))
-    dt = (time.perf_counter() - t0) / n_runs
-    _emit("gp_posterior_n100k_m64", 1.0 / dt, "predictions/s")
+    cache = jax.jit(build_cache)(params, x, y)
+    float(jnp.sum(cache.alpha))  # host-transfer fence
+    cache_build_s = time.perf_counter() - t0
+
+    def predict(params, x, cache, x_star):
+        mean, var = model.posterior_from_cache(params, x, cache, x_star)
+        return jnp.sum(mean) + jnp.sum(var)
+
+    fn = jax.jit(predict)
+    dt, compile_s = _timed(lambda: float(fn(params, x, cache, x_star)), 5)
+    _emit(
+        "love_serving_n100k",
+        m / dt,
+        "points/s",
+        compile_s=compile_s,
+        cache_build_s=cache_build_s,
+    )
 
 
 def main():
@@ -364,6 +383,7 @@ def main():
         bench_mll()
         bench_mll_grad()
         bench_posterior()
+        bench_love_serving()
         bench_kron_toeplitz()
         bench_ski()
         bench_ciq_sampling()
