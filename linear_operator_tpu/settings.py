@@ -464,6 +464,44 @@ class stable_qr_host_threshold(_value_context):
 stable_qr_cpu_threshold = stable_qr_host_threshold
 
 
+class tpu_profile:
+    """Recommended TPU operating point for stochastic MLL work (round-5
+    quad-iters x probes Pareto sweep, BASELINE.md): at the SAME wall-clock as
+    the reference defaults (20 SLQ quadrature iterations x 10 probes), 15
+    iterations x 64 probes gives a 2.8x tighter logdet (loss error 2.8e-5 vs
+    7.8e-5 at N=1e5) and a 1.8x tighter MLL gradient (8.6e-4 vs 1.5e-3
+    relative RMS) — the extra probe columns ride the 128-lane MXU pad nearly
+    free, while the MC probe noise (not quadrature bias) dominates the
+    default's error.  Combines::
+
+        max_lanczos_quadrature_iterations(15)
+        num_trace_samples(64)
+        preconditioner_mode("auto")
+
+    Reference defaults stay untouched for parity; opt in with::
+
+        with lo.settings.tpu_profile():
+            loss = model.neg_mll(params, x, y, key=key)
+    """
+
+    def __init__(self):
+        self._ctxs = (
+            max_lanczos_quadrature_iterations(15),
+            num_trace_samples(64),
+            preconditioner_mode("auto"),
+        )
+
+    def __enter__(self):
+        for c in self._ctxs:
+            c.__enter__()
+        return self
+
+    def __exit__(self, *exc):
+        for c in reversed(self._ctxs):
+            c.__exit__(*exc)
+        return False
+
+
 def use_cholesky_for_solves(n: int) -> bool:
     """THE solve-dispatch predicate (reference functions/_solve.py:10-22):
     True when ``solve`` takes the direct Cholesky path instead of

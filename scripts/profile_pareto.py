@@ -90,8 +90,8 @@ def main():
                 "quad_iters": q,
                 "probes": m,
                 "ms_per_step": round(dt * 1e3, 1),
-                "loss_err_mean": round(sum(lerrs) / len(lerrs), 2),
-                "grad_relerr_mean": round(sum(gerrs) / len(gerrs), 4),
+                "loss_err_mean": float(f"{sum(lerrs) / len(lerrs):.4g}"),
+                "grad_relerr_mean": float(f"{sum(gerrs) / len(gerrs):.4g}"),
                 "compile_s": round(compile_s, 1),
             }
             rows.append(row)

@@ -17,9 +17,10 @@ agree for the five core function paths:
 * ``sqrt_inv_matmul``        — CIQ values (+ grads on dense/added-diag)
 * ``pivoted_cholesky``       — factors elementwise (same greedy pivot order)
 
-over 11 operator types (Dense, Diag, AddedDiag, LowRankRootAddedDiag,
+over 13 operator specs (Dense, Diag, AddedDiag, LowRankRootAddedDiag,
 Kronecker, KroneckerAddedDiag, Toeplitz, Interpolated(+diag), BlockDiag,
-Cat, Sum).  Tolerance bar: the reference's shipped-harness defaults
+Cat, Sum, and batched Dense / AddedDiag variants — the broadcast-batch
+semantics leaf-for-leaf).  Tolerance bar: the reference's shipped-harness defaults
 (/root/reference/linear_operator/test/linear_operator_test_case.py:516-535).
 
 The reference is driven through its PUBLIC API only — nothing is copied.
@@ -83,6 +84,7 @@ class Spec:
     # non-separable cases (Cat's row-blocks of one symmetric matrix).
     kinds: list = field(default_factory=list)
     proj: Callable | None = None
+    batch: tuple = ()
 
 
 def _sym_g(g):
@@ -267,6 +269,40 @@ def _specs() -> list[Spec]:
         )
     )
 
+    # batched variants: the reference's broadcast-batch semantics must hold
+    # leaf-for-leaf too (batch dims exercise completely different gather /
+    # broadcast code on our side)
+    Kb3 = np.stack([_psd(rng, 32) for _ in range(3)])
+    out.append(
+        Spec(
+            "dense_batched",
+            [Kb3],
+            lambda k: O.DenseLinearOperator(k),
+            lambda k: R.DenseLinearOperator(k),
+            n=32,
+            kinds=["sym"],
+            batch=(3,),
+        )
+    )
+
+    Kb2 = np.stack([_psd(rng, 40) for _ in range(2)])
+    db2 = rng.uniform(0.5, 2.5, (2, 40))
+    out.append(
+        Spec(
+            "added_diag_batched",
+            [Kb2, db2],
+            lambda k, v: O.AddedDiagLinearOperator(
+                O.DenseLinearOperator(k), O.DiagLinearOperator(v)
+            ),
+            lambda k, v: R.AddedDiagLinearOperator(
+                R.DenseLinearOperator(k), R.DiagLinearOperator(v)
+            ),
+            n=40,
+            kinds=["sym", "free"],
+            batch=(2,),
+        )
+    )
+
     return out
 
 
@@ -274,8 +310,8 @@ SPECS = {s.name: s for s in _specs()}
 SPEC_NAMES = list(SPECS)
 
 _rng_io = np.random.default_rng(7)
-RHS = {s.name: _rng_io.standard_normal((s.n, 2)) for s in SPECS.values()}
-W = {s.name: _rng_io.standard_normal((s.n, 2)) for s in SPECS.values()}
+RHS = {s.name: _rng_io.standard_normal((*s.batch, s.n, 2)) for s in SPECS.values()}
+W = {s.name: _rng_io.standard_normal((*s.batch, s.n, 2)) for s in SPECS.values()}
 PROBES = {s.name: _rng_io.standard_normal((s.n, 8)) for s in SPECS.values()}
 
 
