@@ -182,7 +182,7 @@ def bench_batched_dense(b=64, n=1024) -> None:
     def step(a, rhs):
         mats = a @ jnp.swapaxes(a, -1, -2) + 2.0 * jnp.eye(n, dtype=jnp.float32)
         op = DenseLinearOperator(mats)
-        iq, ld = inv_quad_logdet(op, rhs, logdet=True)
+        iq, ld = inv_quad_logdet(op, rhs, logdet=True, key=jax.random.PRNGKey(2))
         root = op.root_decomposition().root.to_dense()
         return jnp.sum(iq) + jnp.sum(ld) + jnp.sum(root)
 
