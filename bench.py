@@ -25,6 +25,17 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent XLA compilation cache (round 5, VERDICT r4 #4): cold compiles of
+# the CG/eigh graphs cost 6-13 s each over the remote-compile tunnel (138 s
+# observed for the LOVE cache build in round 3); with the disk cache a second
+# process compiles the same graph in ~0.2 s (measured 10.16 s -> 0.16 s on
+# the north-star MLL, scripts/profile_compile.py).  Keyed by HLO hash +
+# backend version, so stale entries miss harmlessly.
+jax.config.update(
+    "jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 _BASELINE_PATH = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
 
 
