@@ -81,10 +81,12 @@ class TestMakeMeshDeviceDropWarning:
     def test_explicit_n_devices_does_not_warn(self):
         from linear_operator_tpu.parallel import make_mesh
 
-        with warnings.catch_warnings():
-            warnings.simplefilter("error")
+        jax.effects_barrier()  # flush stray async solver-warning callbacks
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
             mesh = make_mesh(4, data=2, model=2)
         assert mesh.devices.shape == (2, 2)
+        assert not any("uses only" in str(x.message) for x in w)
 
     def test_partial_tiling_warns(self):
         from linear_operator_tpu.parallel import make_mesh

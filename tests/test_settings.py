@@ -554,6 +554,9 @@ class TestCGNonConvergenceWarningDefaultOn(BaseTestCase):
         a = jnp.asarray(rng.standard_normal((40, 40)), jnp.float64)
         K = a @ a.T + 40 * jnp.eye(40, dtype=jnp.float64)
         rhs = jnp.asarray(rng.standard_normal((40, 2)), jnp.float64)
+        jax.effects_barrier()  # flush async callbacks from EARLIER tests on
+        # this worker, so a stray unconverged-CG warning can't land in this
+        # capture window
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
             res = linear_cg(lambda v: K @ v, rhs, max_iter=100, tolerance=1e-8)

@@ -590,3 +590,26 @@ def test_pivoted_cholesky_factors(name):
         F.pivoted_cholesky(spec.build_jax(*[tj(x) for x in spec.leaves]), rank=rank)
     )
     np.testing.assert_allclose(Lj, Lt, rtol=1e-6, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# eigvalsh (round-5 breadth: the diagonalization surface)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", SPEC_NAMES)
+def test_eigvalsh_matches(name):
+    """Sorted eigenvalues must agree elementwise (eigenvectors are only
+    defined up to sign/rotation, so values are the well-posed comparison)."""
+    spec = SPECS[name]
+    vt = np.sort(
+        np.asarray(
+            spec.build_torch(*[tt(x) for x in spec.leaves]).eigvalsh().detach()
+        ),
+        axis=-1,
+    )
+    vj = np.sort(
+        np.asarray(spec.build_jax(*[tj(x) for x in spec.leaves]).eigvalsh()), axis=-1
+    )
+    scale = np.max(np.abs(vt))
+    np.testing.assert_allclose(vj / scale, vt / scale, rtol=1e-8, atol=1e-8)
