@@ -24,3 +24,15 @@ jax.config.update("jax_enable_x64", True)
 assert jax.devices()[0].platform == "cpu", (
     f"tests must run on CPU, got {jax.devices()}"
 )
+
+# The cross-library oracle (tests/test_vs_reference_torch.py) imports the
+# torch reference from /root/reference.  Its warning CLASSES (e.g.
+# linear_operator.utils.warnings.NumericalWarning) travel inside pytest-xdist
+# report messages, and the receiving process rebuilds them by importing their
+# module — every pytest process therefore needs the reference importable, or
+# the node crashes with ModuleNotFoundError mid-run.  Appended (not
+# prepended): nothing in this repo shares the reference's module name.
+import sys  # noqa: E402
+
+if "/root/reference" not in sys.path:
+    sys.path.append("/root/reference")
