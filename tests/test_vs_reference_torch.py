@@ -423,11 +423,11 @@ def test_inv_quad_logdet_exact_values_and_grads(name):
 
     def t_loss(op):
         iq, ld = op.inv_quad_logdet(tt(rhs), logdet=True)
-        return iq + 0.7 * ld
+        return (iq + 0.7 * ld).sum()  # sum over batch; no-op for scalars
 
     def j_loss(op):
         iq, ld = op.inv_quad_logdet(tj(rhs), logdet=True)
-        return iq + 0.7 * ld
+        return jnp.sum(iq + 0.7 * ld)
 
     with _Ctx(*_exact_ctx()):
         vt, gt = _torch_grads(spec, t_loss)
@@ -516,7 +516,7 @@ def test_root_decomposition_residuals(name):
         ) / scale
         rj = spec.build_jax(*[tj(x) for x in spec.leaves]).root_decomposition().root
         rjd = np.asarray(rj.to_dense())
-        resid_j = np.linalg.norm(rjd @ rjd.T - Kd) / scale
+        resid_j = np.linalg.norm(rjd @ np.swapaxes(rjd, -1, -2) - Kd) / scale
 
     assert resid_t < 1e-5, f"reference residual {resid_t}"
     assert resid_j < 1e-5, f"tpu residual {resid_j}"
