@@ -72,14 +72,23 @@ def _timed(call, runs: int):
     """(steady_dt, compile_s): time the FIRST call (trace+lower+compile+run
     over the remote-compile tunnel) separately from the steady state, so a
     compile-time regression is visible in BENCH_*.json instead of silently
-    eating the driver's 560 s budget (VERDICT r4 #4)."""
+    eating the driver's 560 s budget (VERDICT r4 #4).
+
+    steady_dt is the MEDIAN of per-call timings, not the mean: transient
+    tunnel/chip load stalls individual calls by 20-40% (round 5 measured two
+    such phantom regressions — `kron_toeplitz` 29.4 vs 34.9 isolated, LOVE
+    serving 27.3k vs 39k isolated, BASELINE.md), and the median of >=3 calls
+    rejects a single stalled call where the mean swallows it."""
     t0 = time.perf_counter()
     call()
     first = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(runs):
+    times = []
+    for _ in range(max(runs, 3)):
+        t0 = time.perf_counter()
         call()
-    dt = (time.perf_counter() - t0) / runs
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt = times[len(times) // 2]
     return dt, max(first - dt, 0.0)
 
 
@@ -118,6 +127,33 @@ def bench_mll() -> None:
     fn, args = build_benchmark()
     dt, compile_s = _timed(lambda: float(fn(*args)), 3)
     _emit("gp_mll_n100k_cg_slq", 1.0 / dt, "solves/s", compile_s=compile_s)
+
+
+def bench_mll_tpu_profile(n=100_000, d=3, block_rows=8192) -> None:
+    """Config 3e: the north-star MLL at the SHIPPED recommended operating
+    point (``settings.tpu_profile()``: 15 quad iterations x 64 probes +
+    auto preconditioner — the round-5 Pareto sweep's dominant point, 2.8x
+    tighter logdet than the reference-default configuration of config 3 at
+    comparable wall-clock).  Tracked so kernel work is measured where users
+    should actually run, not only at the parity-default point
+    (NEXT_STEPS round-6 #1)."""
+    from linear_operator_tpu import settings
+    from linear_operator_tpu.models import ExactGPRegression
+
+    model = ExactGPRegression(block_rows=block_rows)
+    kx, ky = jax.random.split(jax.random.PRNGKey(0))
+    x = jax.random.normal(kx, (n, d), dtype=jnp.float32)
+    y = jnp.sin(3.0 * x[:, 0]) + 0.1 * jax.random.normal(ky, (n,), dtype=jnp.float32)
+    params = model.init_params(d)
+
+    def loss_fn(params, x, y):
+        with settings.max_cholesky_size(0), settings.max_cg_iterations(100), \
+             settings.cg_tolerance(1.0), settings.tpu_profile():
+            return model.neg_mll(params, x, y, key=jax.random.PRNGKey(1))
+
+    fn = jax.jit(loss_fn)
+    dt, compile_s = _timed(lambda: float(fn(params, x, y)), 3)
+    _emit("gp_mll_n100k_tpu_profile", 1.0 / dt, "solves/s", compile_s=compile_s)
 
 
 def bench_mll_grad() -> None:

@@ -17,10 +17,10 @@ agree for the five core function paths:
 * ``sqrt_inv_matmul``        — CIQ values (+ grads on dense/added-diag)
 * ``pivoted_cholesky``       — factors elementwise (same greedy pivot order)
 
-over 13 operator specs (Dense, Diag, AddedDiag, LowRankRootAddedDiag,
+over 17 operator specs (Dense, Diag, AddedDiag, LowRankRootAddedDiag,
 Kronecker, KroneckerAddedDiag, Toeplitz, Interpolated(+diag), BlockDiag,
-Cat, Sum, and batched Dense / AddedDiag variants — the broadcast-batch
-semantics leaf-for-leaf).  Tolerance bar: the reference's shipped-harness defaults
+Cat, Sum, Mul, ConstantMul, BatchRepeat, Masked, and batched Dense /
+AddedDiag variants — the broadcast-batch semantics leaf-for-leaf).  Tolerance bar: the reference's shipped-harness defaults
 (/root/reference/linear_operator/test/linear_operator_test_case.py:516-535).
 
 The reference is driven through its PUBLIC API only — nothing is copied.
@@ -266,6 +266,78 @@ def _specs() -> list[Spec]:
             lambda a, b: O.DenseLinearOperator(a) + O.DenseLinearOperator(b),
             lambda a, b: R.DenseLinearOperator(a) + R.DenseLinearOperator(b),
             kinds=["sym", "sym"],
+        )
+    )
+
+    # Hadamard product from EXPLICIT identical roots on both sides (letting
+    # either library call root_decomposition() inside the Mul constructor
+    # would inject library-specific Lanczos randomness into the operator
+    # itself; with given roots the operator is deterministic and identical):
+    # K = (U1 U1^T) o (U2 U2^T), PSD by the Schur product theorem.
+    U1 = rng.standard_normal((n, n)) / np.sqrt(n) + np.eye(n)
+    U2 = rng.standard_normal((n, n)) / np.sqrt(n) + np.eye(n)
+    out.append(
+        Spec(
+            "mul",
+            [U1, U2],
+            lambda a, b: O.MulLinearOperator(
+                O.DenseLinearOperator(a), O.DenseLinearOperator(b)
+            ),
+            lambda a, b: R.MulLinearOperator(
+                R.RootLinearOperator(a), R.RootLinearOperator(b)
+            ),
+            kinds=["free", "free"],
+        )
+    )
+
+    Kcm = _psd(rng, n)
+    ccm = np.asarray(0.8)
+    out.append(
+        Spec(
+            "constant_mul",
+            [Kcm, ccm],
+            lambda k, cc: O.ConstantMulLinearOperator(O.DenseLinearOperator(k), cc),
+            lambda k, cc: R.ConstantMulLinearOperator(R.DenseLinearOperator(k), cc),
+            kinds=["sym", "free"],
+        )
+    )
+
+    Kbr = _psd(rng, 32)
+    out.append(
+        Spec(
+            "batch_repeat",
+            [Kbr],
+            lambda k: O.BatchRepeatLinearOperator(
+                O.DenseLinearOperator(k), batch_repeat=(3,)
+            ),
+            lambda k: R.BatchRepeatLinearOperator(
+                R.DenseLinearOperator(k), batch_repeat=torch.Size((3,))
+            ),
+            n=32,
+            kinds=["sym"],
+            batch=(3,),
+        )
+    )
+
+    # Masked square selection (row mask == col mask, so the scatter of the
+    # symmetrized masked cotangent stays in the symmetric tangent space)
+    Kmk = _psd(rng, 56)
+    mask = np.zeros(56, dtype=bool)
+    mask[np.sort(rng.choice(56, n, replace=False))] = True
+    out.append(
+        Spec(
+            "masked",
+            [Kmk],
+            lambda k: O.MaskedLinearOperator.from_masks(
+                O.DenseLinearOperator(k), mask, mask
+            ),
+            lambda k: R.MaskedLinearOperator(
+                R.DenseLinearOperator(k),
+                torch.tensor(mask),
+                torch.tensor(mask),
+            ),
+            static={"mask": mask},
+            kinds=["sym"],
         )
     )
 

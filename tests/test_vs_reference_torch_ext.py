@@ -1,0 +1,373 @@
+"""Cross-library oracle, round-5 breadth extension (NEXT_STEPS round-6 #3).
+
+Extends ``test_vs_reference_torch.py`` (same conventions: identical leaf
+values both sides, reference driven through its PUBLIC API, nothing copied)
+to three surfaces the base suite does not cover:
+
+* ``KernelLinearOperator``-built covariances — the flagship GP call stack:
+  K = k(X,X) + noise·I built from raw inputs in BOTH libraries (the RBF
+  formula written independently in torch and jax), values AND gradients
+  w.r.t. the inputs X and the kernel hyperparameters asserted for solve and
+  inv_quad_logdet, exact and CG regimes (reference
+  kernel_linear_operator.py:138-420).
+* ``diagonalization`` — Lanczos-regime reconstruction residuals and
+  symeig-regime eigenvalues (reference _linear_operator.py:1439-1482).
+* ``zero_mean_mvn_samples`` — moment-matched: empirical covariance of both
+  libraries' samplers vs the SAME dense K, root path and CIQ path
+  (reference _linear_operator.py:2746-2793).
+
+Gradient conventions need no projection here: every leaf (inputs, scalars,
+noise vectors) parameterizes K through a map whose differential images are
+symmetric matrices, so torch's symmetrized Cholesky cotangent and our free
+cotangent act identically as linear functionals.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/reference")
+
+import torch  # noqa: E402
+
+torch.set_default_dtype(torch.float64)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+import linear_operator.operators as R  # noqa: E402  (the torch reference)
+from linear_operator import settings as rs  # noqa: E402
+
+import linear_operator_tpu.operators as O  # noqa: E402
+from linear_operator_tpu import settings as js  # noqa: E402
+
+
+def tj(x):
+    return jnp.asarray(x, jnp.float64)
+
+
+def tt(x):
+    return torch.tensor(np.asarray(x), dtype=torch.float64)
+
+
+def _psd(rng, n, scale=1.0):
+    a = rng.standard_normal((n, n))
+    return scale * (a @ a.T + n * np.eye(n))
+
+
+class _Ctx:
+    def __init__(self, *ctxs):
+        self.ctxs = ctxs
+
+    def __enter__(self):
+        for c in self.ctxs:
+            c.__enter__()
+
+    def __exit__(self, *a):
+        for c in reversed(self.ctxs):
+            c.__exit__(*a)
+
+
+# ---------------------------------------------------------------------------
+# KernelLinearOperator-built covariances
+# ---------------------------------------------------------------------------
+
+_rng = np.random.default_rng(20250820)
+_N, _D = 40, 3
+_X = _rng.standard_normal((_N, _D))
+_LS = np.asarray(1.3)
+_OS = np.asarray(2.1)
+_NOISE = _rng.uniform(0.3, 0.8, _N)
+_RHS = _rng.standard_normal((_N, 2))
+_WEIGHT = _rng.standard_normal((_N, 2))
+
+
+def _rbf_torch(x1, x2, lengthscale, outputscale):
+    # independent torch implementation of outputscale*exp(-||dx||^2/(2 l^2))
+    x1s, x2s = x1 / lengthscale, x2 / lengthscale
+    d2 = (x1s.unsqueeze(-2) - x2s.unsqueeze(-3)).pow(2).sum(-1)
+    return outputscale * torch.exp(-0.5 * d2)
+
+
+def _rbf_jax(x1, x2, lengthscale, outputscale):
+    x1s, x2s = x1 / lengthscale, x2 / lengthscale
+    d2 = jnp.sum((x1s[..., :, None, :] - x2s[..., None, :, :]) ** 2, axis=-1)
+    return outputscale * jnp.exp(-0.5 * d2)
+
+
+def _build_torch_kernel(x, ls, os_, noise):
+    k = R.KernelLinearOperator(
+        x, x, covar_func=_rbf_torch, lengthscale=ls, outputscale=os_
+    )
+    return R.AddedDiagLinearOperator(k, R.DiagLinearOperator(noise))
+
+
+def _build_jax_kernel(x, ls, os_, noise):
+    k = O.KernelLinearOperator(
+        x, x, {"lengthscale": ls, "outputscale": os_},
+        covar_func=_rbf_jax, symmetric=True,
+    )
+    return O.AddedDiagLinearOperator(k, O.DiagLinearOperator(noise))
+
+
+def _torch_kernel_grads(loss_fn):
+    leaves = [tt(v).requires_grad_(True) for v in (_X, _LS, _OS, _NOISE)]
+    loss = loss_fn(_build_torch_kernel(*leaves))
+    grads = torch.autograd.grad(loss, leaves)
+    return float(loss.detach()), [np.asarray(g.detach()) for g in grads]
+
+
+def _jax_kernel_grads(loss_fn):
+    def f(*leaves):
+        return loss_fn(_build_jax_kernel(*leaves))
+
+    leaves = [tj(v) for v in (_X, _LS, _OS, _NOISE)]
+    val, grads = jax.value_and_grad(f, argnums=(0, 1, 2, 3))(*leaves)
+    return float(val), [np.asarray(g) for g in grads]
+
+
+def _exact_ctx():
+    return _Ctx(rs.max_cholesky_size(800), js.max_cholesky_size(800))
+
+
+def _cg_ctx():
+    return _Ctx(
+        rs.max_cholesky_size(0),
+        rs.cg_tolerance(1e-12),
+        rs.max_cg_iterations(400),
+        rs.min_preconditioning_size(10**9),
+        js.max_cholesky_size(0),
+        js.cg_tolerance(1e-12),
+        js.max_cg_iterations(400),
+        js.min_preconditioning_size(10**9),
+    )
+
+
+LEAF_NAMES = ["x", "lengthscale", "outputscale", "noise"]
+
+
+def _assert_leaf_grads(gj, gt, rtol, atol, ctx):
+    for name, a, b in zip(LEAF_NAMES, gj, gt):
+        np.testing.assert_allclose(
+            a, b, rtol=rtol, atol=atol, err_msg=f"{ctx} leaf {name}"
+        )
+
+
+@pytest.mark.parametrize("regime", ["exact", "cg"])
+def test_kernel_op_solve_values_and_grads(regime):
+    """solve on a covariance built FROM RAW INPUTS in both libraries:
+    gradients flow through the kernel formula to X and hyperparameters."""
+    ctx = _exact_ctx() if regime == "exact" else _cg_ctx()
+    with ctx:
+        vt, gt = _torch_kernel_grads(
+            lambda op: (op.solve(tt(_RHS)) * tt(_WEIGHT)).sum()
+        )
+        vj, gj = _jax_kernel_grads(
+            lambda op: jnp.sum(op.solve(tj(_RHS)) * tj(_WEIGHT))
+        )
+    if regime == "exact":
+        np.testing.assert_allclose(vj, vt, rtol=1e-8, atol=1e-9)
+        _assert_leaf_grads(gj, gt, 1e-6, 1e-8, "kernel-solve-exact")
+    else:
+        np.testing.assert_allclose(vj, vt, rtol=2e-5, atol=1e-6)
+        _assert_leaf_grads(gj, gt, 5e-4, 1e-5, "kernel-solve-cg")
+
+
+@pytest.mark.parametrize("regime", ["exact", "cg"])
+def test_kernel_op_inv_quad_logdet_values_and_grads(regime):
+    def t_loss(op):
+        iq, ld = op.inv_quad_logdet(tt(_RHS), logdet=True)
+        return iq + 0.7 * ld
+
+    def j_loss(op):
+        iq, ld = op.inv_quad_logdet(tj(_RHS), logdet=True)
+        return jnp.sum(iq) + 0.7 * ld
+
+    if regime == "exact":
+        with _exact_ctx():
+            vt, gt = _torch_kernel_grads(t_loss)
+            vj, gj = _jax_kernel_grads(j_loss)
+        np.testing.assert_allclose(vj, vt, rtol=1e-8, atol=1e-8)
+        _assert_leaf_grads(gj, gt, 1e-6, 1e-8, "kernel-iqld-exact")
+    else:
+        # stochastic-trace regime: inject IDENTICAL probes on both sides
+        # (same mechanism as the base suite's stochastic test)
+        probes_raw = np.random.default_rng(11).standard_normal((_N, 8))
+        norms = np.linalg.norm(probes_raw, axis=0, keepdims=True)
+        probes = probes_raw / norms
+
+        orig = R.LinearOperator._probe_vectors_and_norms
+
+        def patched(self):
+            return tt(probes), tt(norms)
+
+        R.LinearOperator._probe_vectors_and_norms = patched
+        try:
+            with _cg_ctx(), _Ctx(rs.max_lanczos_quadrature_iterations(32)):
+                vt, gt = _torch_kernel_grads(t_loss)
+        finally:
+            R.LinearOperator._probe_vectors_and_norms = orig
+
+        from linear_operator_tpu.functions._inv_quad_logdet import _stochastic_iqld
+
+        def j_loss_stoch(op):
+            iq, ld = _stochastic_iqld(
+                op, tj(_RHS), tj(probes), tj(probes), tj(norms)
+            )
+            return jnp.sum(iq) + 0.7 * ld
+
+        with _cg_ctx(), _Ctx(js.max_lanczos_quadrature_iterations(32)):
+            vj, gj = _jax_kernel_grads(j_loss_stoch)
+        np.testing.assert_allclose(vj, vt, rtol=5e-4, atol=5e-4)
+        _assert_leaf_grads(gj, gt, 1e-3, 1e-4, "kernel-iqld-stoch")
+
+
+# ---------------------------------------------------------------------------
+# diagonalization
+# ---------------------------------------------------------------------------
+
+
+def _diag_specs():
+    rng = np.random.default_rng(7)
+    n = 48
+    K = _psd(rng, n)
+    d = rng.uniform(0.5, 2.5, n)
+    col = 3.0 * np.exp(-0.35 * np.arange(n))
+    col[0] = 5.0
+    return {
+        "dense": (
+            lambda: O.DenseLinearOperator(tj(K)),
+            lambda: R.DenseLinearOperator(tt(K)),
+        ),
+        "added_diag": (
+            lambda: O.AddedDiagLinearOperator(
+                O.DenseLinearOperator(tj(K)), O.DiagLinearOperator(tj(d))
+            ),
+            lambda: R.AddedDiagLinearOperator(
+                R.DenseLinearOperator(tt(K)), R.DiagLinearOperator(tt(d))
+            ),
+        ),
+        "toeplitz": (
+            lambda: O.ToeplitzLinearOperator(tj(col)),
+            lambda: R.ToeplitzLinearOperator(tt(col)),
+        ),
+    }
+
+
+DIAG_SPECS = _diag_specs()
+
+
+@pytest.mark.parametrize("name", list(DIAG_SPECS))
+def test_diagonalization_lanczos_reconstruction(name):
+    """Forced-Lanczos diagonalization: both libraries' Q diag(e) Q^T must
+    reconstruct the SAME dense K to the harness tolerance."""
+    bj, bt = DIAG_SPECS[name]
+    Kd = np.asarray(bj().to_dense())
+    scale = np.linalg.norm(Kd)
+
+    with _Ctx(
+        rs.max_cholesky_size(0),
+        rs.max_root_decomposition_size(100),
+        js.max_cholesky_size(0),
+        js.max_root_decomposition_size(100),
+    ):
+        et, vt = bt().diagonalization(method="lanczos")
+        evt = np.asarray(vt.to_dense().detach())
+        recon_t = (evt * np.asarray(et.detach())) @ evt.T
+        ej, vj = bj().diagonalization(method="lanczos")
+        evj = np.asarray(vj.to_dense())
+        recon_j = (evj * np.asarray(ej)) @ evj.T
+
+    assert np.linalg.norm(recon_t - Kd) / scale < 1e-5
+    assert np.linalg.norm(recon_j - Kd) / scale < 1e-5
+
+
+@pytest.mark.parametrize("name", list(DIAG_SPECS))
+def test_diagonalization_symeig_eigenvalues(name):
+    bj, bt = DIAG_SPECS[name]
+    et, _ = bt().diagonalization(method="symeig")
+    ej, _ = bj().diagonalization(method="symeig")
+    et = np.sort(np.asarray(et.detach()), axis=-1)
+    ej = np.sort(np.asarray(ej), axis=-1)
+    scale = np.max(np.abs(et))
+    np.testing.assert_allclose(ej / scale, et / scale, rtol=1e-8, atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# zero_mean_mvn_samples (moment-matched)
+# ---------------------------------------------------------------------------
+
+
+def _mvn_specs():
+    rng = np.random.default_rng(13)
+    n = 24
+    K = _psd(rng, n)
+    d = rng.uniform(0.5, 2.5, n)
+    return {
+        "dense": (
+            lambda: O.DenseLinearOperator(tj(K)),
+            lambda: R.DenseLinearOperator(tt(K)),
+        ),
+        "added_diag": (
+            lambda: O.AddedDiagLinearOperator(
+                O.DenseLinearOperator(tj(K)), O.DiagLinearOperator(tj(d))
+            ),
+            lambda: R.AddedDiagLinearOperator(
+                R.DenseLinearOperator(tt(K)), R.DiagLinearOperator(tt(d))
+            ),
+        ),
+    }
+
+
+MVN_SPECS = _mvn_specs()
+
+
+def _check_moments(samples, Kd, tol):
+    """Empirical mean ~ 0 and covariance ~ K within the MC tolerance."""
+    s = np.asarray(samples)
+    n = Kd.shape[0]
+    assert s.shape[-1] == n
+    mean = s.mean(axis=0)
+    cov = (s.T @ s) / s.shape[0]
+    kscale = np.linalg.norm(Kd)
+    assert np.linalg.norm(mean) / np.sqrt(np.trace(Kd) / n) < tol * np.sqrt(n)
+    assert np.linalg.norm(cov - Kd) / kscale < tol
+
+
+@pytest.mark.parametrize("name", list(MVN_SPECS))
+def test_zero_mean_mvn_samples_root_path_moments(name):
+    """Both libraries' default (root-decomposition) samplers draw from the
+    SAME N(0, K): empirical covariance vs the shared dense K.  Expected MC
+    Frobenius error ~ sqrt(2/S) ≈ 0.01 at S=2e4; bound 0.06."""
+    bj, bt = MVN_SPECS[name]
+    S = 20_000
+    Kd = np.asarray(bj().to_dense())
+
+    torch.manual_seed(0)
+    st = bt().zero_mean_mvn_samples(S).detach()
+    _check_moments(st, Kd, 0.06)
+
+    sj = bj().zero_mean_mvn_samples(S, key=jax.random.PRNGKey(3))
+    _check_moments(sj, Kd, 0.06)
+
+
+@pytest.mark.parametrize("name", list(MVN_SPECS))
+def test_zero_mean_mvn_samples_ciq_path_moments(name):
+    """CIQ sampling path (settings.ciq_samples): K^{1/2} via contour-integral
+    quadrature + shifted MINRES on both sides (reference
+    _linear_operator.py:2757-2776)."""
+    bj, bt = MVN_SPECS[name]
+    S = 8_000
+    Kd = np.asarray(bj().to_dense())
+
+    torch.manual_seed(0)
+    with _Ctx(rs.ciq_samples(True), rs.minres_tolerance(1e-8)):
+        st = bt().zero_mean_mvn_samples(S).detach()
+    _check_moments(st, Kd, 0.08)
+
+    with _Ctx(js.ciq_samples(True), js.minres_tolerance(1e-8)):
+        sj = bj().zero_mean_mvn_samples(S, key=jax.random.PRNGKey(3))
+    _check_moments(sj, Kd, 0.08)
