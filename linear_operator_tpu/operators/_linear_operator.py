@@ -644,10 +644,12 @@ class LinearOperator:
         generate_roots: bool = True,
     ) -> "LinearOperator":
         """Append rows/columns to a PSD operator (reference ``cat_rows``,
-        :1152-1308, Pleiss et al. 2018 "fantasy updates"):
+        :1152-1308, Pleiss et al. 2018 "fantasy updates").  ``cross_mat`` is
+        the NEW ROWS block of shape (*b, m, n) — the reference's convention
+        (:1154-1165, cross-checked by tests/test_vs_reference_torch_ext.py):
 
             K' = [[K,   B],
-                  [B^T, C]]   with B = cross_mat (n, m), C = new_mat (m, m).
+                  [B^T, C]]   with B = cross_mat^T (n, m), C = new_mat (m, m).
 
         With ``generate_roots`` AND a structurally-rooted K (the functional
         analog of the reference's "has cached roots" gate, :1265-1272) the
@@ -666,7 +668,7 @@ class LinearOperator:
         from .root import RootLinearOperator
         from ..utils.cholesky import psd_safe_cholesky
 
-        B = jnp.asarray(cross_mat, dtype=self.dtype)
+        B = jnp.swapaxes(jnp.asarray(cross_mat, dtype=self.dtype), -1, -2)
         C = jnp.asarray(new_mat, dtype=self.dtype)
         root_op = self._carried_root() if generate_roots else None
         if root_op is None:

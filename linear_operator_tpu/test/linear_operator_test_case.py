@@ -800,14 +800,15 @@ class LinearOperatorTestCase(RectangularLinearOperatorTestCase):
             ],
             axis=-2,
         )
+        Bt = jnp.swapaxes(B, -1, -2)  # cross_mat = the NEW ROWS (m, n)
         with settings.fast_computations(covar_root_decomposition=False, solves=False):
-            lazy = op.cat_rows(B, C, generate_roots=False)
+            lazy = op.cat_rows(Bt, C, generate_roots=False)
             self.assertAllClose(
                 lazy.to_dense(), block, **self.tolerances["matmul"]
             )
             # roots are only UPDATED, never speculatively created (reference
             # :1265-1272): seed one first, then append.
-            rooted = op.with_factorization(op.root_decomposition()).cat_rows(B, C)
+            rooted = op.with_factorization(op.root_decomposition()).cat_rows(Bt, C)
         self.assertIsInstance(rooted, RootLinearOperator)
         root = rooted.root.to_dense()
         self.assertAllClose(

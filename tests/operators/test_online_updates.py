@@ -69,7 +69,7 @@ class TestAddLowRank(BaseTestCase):
         ):
             updated = op.add_low_rank(v)
             self.assertIsInstance(updated, SumLinearOperator)
-            appended = op.cat_rows(v, v.T @ jnp.linalg.solve(K, v) + jnp.eye(2))
+            appended = op.cat_rows(v.T, v.T @ jnp.linalg.solve(K, v) + jnp.eye(2))
             self.assertNotIsInstance(appended, RootLinearOperator)
 
 
@@ -82,7 +82,7 @@ class TestCatRows(BaseTestCase):
         op = CholLinearOperator(
             TriangularLinearOperator(DenseLinearOperator(L), upper=False)
         )
-        joined = op.cat_rows(K12, K22)
+        joined = op.cat_rows(K12.T, K22)
         self.assertIsInstance(joined, RootLinearOperator)
         self.assertAllClose(joined.to_dense(), K, rtol=1e-9, atol=1e-9)
         b = jax.random.normal(self.key, (n + m, 1), dtype=jnp.float64)
@@ -97,7 +97,7 @@ class TestCatRows(BaseTestCase):
         n, m = 8, 2
         K = _psd(jax.random.PRNGKey(143), n=n + m)
         op = DenseLinearOperator(K[:n, :n])
-        joined = op.cat_rows(K[:n, n:], K[n:, n:], generate_roots=False)
+        joined = op.cat_rows(K[n:, :n], K[n:, n:], generate_roots=False)
         self.assertEqual(joined.shape, (n + m, n + m))
         self.assertAllClose(joined.to_dense(), K, rtol=1e-12, atol=1e-12)
         rhs = jax.random.normal(self.key, (n + m, 2), dtype=jnp.float64)

@@ -337,6 +337,26 @@ def _check_moments(samples, Kd, tol):
     assert np.linalg.norm(cov - Kd) / kscale < tol
 
 
+@pytest.mark.parametrize("name", list(DIAG_SPECS))
+def test_dunder_semantics(name):
+    """Vector/dunder conventions match the reference elementwise: 1-D
+    ``op @ v`` (squeezed), 1-D ``v @ op`` (rmatmul), ``diagonal()``."""
+    bj, bt = DIAG_SPECS[name]
+    v = np.random.default_rng(3).standard_normal(48)
+    np.testing.assert_allclose(
+        np.asarray(bj() @ tj(v)), np.asarray((bt() @ tt(v)).detach()),
+        rtol=1e-9, atol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(tj(v) @ bj()), np.asarray((tt(v) @ bt()).detach()),
+        rtol=1e-9, atol=1e-10,
+    )
+    np.testing.assert_allclose(
+        np.asarray(bj().diagonal()), np.asarray(bt().diagonal().detach()),
+        rtol=1e-10, atol=1e-11,
+    )
+
+
 @pytest.mark.parametrize("name", list(MVN_SPECS))
 def test_zero_mean_mvn_samples_root_path_moments(name):
     """Both libraries' default (root-decomposition) samplers draw from the
@@ -352,6 +372,78 @@ def test_zero_mean_mvn_samples_root_path_moments(name):
 
     sj = bj().zero_mean_mvn_samples(S, key=jax.random.PRNGKey(3))
     _check_moments(sj, Kd, 0.06)
+
+
+# ---------------------------------------------------------------------------
+# svd / broadcast-rhs solve / cat_rows / add_low_rank
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name", list(DIAG_SPECS))
+def test_svd_singular_values(name):
+    """Sorted singular values agree (U/V only defined up to rotation)."""
+    bj, bt = DIAG_SPECS[name]
+    _, st, _ = bt().svd()
+    _, sj, _ = bj().svd()
+    st = np.sort(np.asarray(st.detach()), axis=-1)
+    sj = np.sort(np.asarray(sj), axis=-1)
+    scale = np.max(st)
+    np.testing.assert_allclose(sj / scale, st / scale, rtol=1e-8, atol=1e-8)
+
+
+@pytest.mark.parametrize("name", list(DIAG_SPECS))
+def test_solve_broadcast_rhs(name):
+    """rhs with a LEADING batch dim over a non-batched operator: the
+    reference broadcasts the solve over the rhs batch (torch semantics);
+    ours must match elementwise."""
+    bj, bt = DIAG_SPECS[name]
+    rhs = np.random.default_rng(5).standard_normal((4, 48, 2))
+    with _Ctx(rs.max_cholesky_size(800), js.max_cholesky_size(800)):
+        vt = np.asarray(bt().solve(tt(rhs)).detach())
+        vj = np.asarray(bj().solve(tj(rhs)))
+    assert vt.shape == vj.shape == (4, 48, 2)
+    np.testing.assert_allclose(vj, vt, rtol=1e-7, atol=1e-8)
+
+
+def test_cat_rows_matches():
+    """cat_rows (fantasy update): the catted operator's to_dense AND solve
+    agree cross-library under the exact regime (reference
+    _linear_operator.py:1152-1308)."""
+    rng = np.random.default_rng(21)
+    K = _psd(rng, 48)
+    A, B, D = K[:40, :40], K[40:, :40], K[40:, 40:]
+    rhs = rng.standard_normal((48, 2))
+
+    with _Ctx(rs.max_cholesky_size(800), js.max_cholesky_size(800)):
+        ct = R.to_linear_operator(tt(A)).cat_rows(tt(B), tt(D))
+        cj = O.to_linear_operator(tj(A)).cat_rows(tj(B), tj(D))
+        np.testing.assert_allclose(
+            np.asarray(cj.to_dense()), np.asarray(ct.to_dense().detach()),
+            rtol=1e-9, atol=1e-10,
+        )
+        vt = np.asarray(ct.solve(tt(rhs)).detach())
+        vj = np.asarray(cj.solve(tj(rhs)))
+    np.testing.assert_allclose(vj, vt, rtol=1e-5, atol=1e-7)
+
+
+def test_add_low_rank_matches():
+    """A + V V^T via add_low_rank: to_dense and solve agree cross-library
+    (reference _linear_operator.py:1019-1142)."""
+    rng = np.random.default_rng(22)
+    A = _psd(rng, 48)
+    V = rng.standard_normal((48, 4))
+    rhs = rng.standard_normal((48, 2))
+
+    with _Ctx(rs.max_cholesky_size(800), js.max_cholesky_size(800)):
+        ut = R.to_linear_operator(tt(A)).add_low_rank(tt(V))
+        uj = O.to_linear_operator(tj(A)).add_low_rank(tj(V))
+        np.testing.assert_allclose(
+            np.asarray(uj.to_dense()), np.asarray(ut.to_dense().detach()),
+            rtol=1e-9, atol=1e-10,
+        )
+        vt = np.asarray(ut.solve(tt(rhs)).detach())
+        vj = np.asarray(uj.solve(tj(rhs)))
+    np.testing.assert_allclose(vj, vt, rtol=1e-5, atol=1e-7)
 
 
 @pytest.mark.parametrize("name", list(MVN_SPECS))
