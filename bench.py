@@ -428,6 +428,7 @@ def main():
         bench_woodbury_10m()
         bench_batched_dense()
         bench_mll()
+        bench_mll_tpu_profile()
         bench_mll_grad()
         bench_posterior()
         bench_love_serving()

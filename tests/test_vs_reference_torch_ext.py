@@ -357,6 +357,54 @@ def test_dunder_semantics(name):
     )
 
 
+def test_two_arg_solve_and_sqrt_inv_matmul():
+    """The two-argument forms: solve(rhs, lhs) = lhs K^{-1} rhs and
+    sqrt_inv_matmul(rhs, lhs) -> (lhs K^{-1/2} rhs, inv_quad diag) match the
+    reference elementwise (reference _linear_operator.py:2325-2381,
+    2422-2471)."""
+    rng = np.random.default_rng(17)
+    K = _psd(rng, 12)
+    rhs, lhs = rng.standard_normal((12, 3)), rng.standard_normal((2, 12))
+    ot, oj = R.DenseLinearOperator(tt(K)), O.DenseLinearOperator(tj(K))
+
+    with _Ctx(rs.max_cholesky_size(800), js.max_cholesky_size(800)):
+        st = np.asarray(ot.solve(tt(rhs), tt(lhs)).detach())
+        sj = np.asarray(oj.solve(tj(rhs), tj(lhs)))
+    np.testing.assert_allclose(sj, st, rtol=1e-10, atol=1e-12)
+
+    with _Ctx(rs.minres_tolerance(1e-10), js.minres_tolerance(1e-10)):
+        qt, it_ = ot.sqrt_inv_matmul(tt(rhs), tt(lhs))
+        qj, ij = oj.sqrt_inv_matmul(tj(rhs), tj(lhs))
+    np.testing.assert_allclose(np.asarray(qj), np.asarray(qt.detach()),
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(ij), np.asarray(it_.detach()),
+                               rtol=1e-7, atol=1e-9)
+
+
+def test_batch_reductions_prod_sum():
+    """prod/sum over a batch dim and sum over a matrix dim match the
+    reference (reference _linear_operator.py:2011-2043, 2510-2546)."""
+    rng = np.random.default_rng(18)
+    K = _psd(rng, 8)
+    Kb = np.stack([K, 1.1 * K, 0.7 * K])
+    bt, bj = R.DenseLinearOperator(tt(Kb)), O.DenseLinearOperator(tj(Kb))
+
+    pt, pj = bt.prod(dim=-3), bj.prod(-3)
+    pt = pt.to_dense().detach() if hasattr(pt, "to_dense") else pt.detach()
+    pj = pj.to_dense() if hasattr(pj, "to_dense") else pj
+    np.testing.assert_allclose(np.asarray(pj), np.asarray(pt), rtol=1e-10, atol=1e-10)
+
+    st, sj = bt.sum(dim=-3), bj.sum(-3)
+    st = st.to_dense().detach() if hasattr(st, "to_dense") else st.detach()
+    sj = sj.to_dense() if hasattr(sj, "to_dense") else sj
+    np.testing.assert_allclose(np.asarray(sj), np.asarray(st), rtol=1e-12, atol=1e-12)
+
+    np.testing.assert_allclose(
+        np.asarray(bj.sum(-1)), np.asarray(bt.sum(dim=-1).detach()),
+        rtol=1e-12, atol=1e-12,
+    )
+
+
 @pytest.mark.parametrize("name", list(MVN_SPECS))
 def test_zero_mean_mvn_samples_root_path_moments(name):
     """Both libraries' default (root-decomposition) samplers draw from the
