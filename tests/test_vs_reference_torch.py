@@ -520,6 +520,11 @@ _GENERIC_STOCH_SPECS = [
     "interpolated_plus_diag",
     "cat",
     "sum",
+    # batched: the BATCHED CG+tridiag/SLQ state machines on identical probes
+    # (the reference needs the probes pre-expanded over the batch; ours
+    # broadcasts them)
+    "dense_batched",
+    "added_diag_batched",
 ]
 
 
@@ -538,11 +543,17 @@ def test_inv_quad_logdet_stochastic_same_probes(name):
     orig = R.LinearOperator._probe_vectors_and_norms
 
     def patched(self):
-        return tt(probes), tt(norms)
+        # the reference's draw is batched (*b, n, m); pre-expand the shared
+        # probes over the spec's batch (ours broadcasts them internally)
+        pt, nt = tt(probes), tt(norms)
+        if spec.batch:
+            pt = pt.expand(*spec.batch, *pt.shape).contiguous()
+            nt = nt.expand(*spec.batch, *nt.shape).contiguous()
+        return pt, nt
 
     def t_loss(op):
         iq, ld = op.inv_quad_logdet(tt(rhs), logdet=True)
-        return iq + 0.7 * ld
+        return (iq + 0.7 * ld).sum()  # sum over batch; no-op for scalars
 
     R.LinearOperator._probe_vectors_and_norms = patched
     try:
@@ -556,7 +567,7 @@ def test_inv_quad_logdet_stochastic_same_probes(name):
 
     def j_loss(op):
         iq, ld = _stochastic_iqld(op, tj(rhs), tj(probes), tj(probes), tj(norms))
-        return jnp.sum(iq) + 0.7 * ld
+        return jnp.sum(iq) + 0.7 * jnp.sum(ld)
 
     with _Ctx(*_cg_ctx()):
         vj, gj = _jax_grads(spec, j_loss)

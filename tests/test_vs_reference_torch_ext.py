@@ -225,6 +225,52 @@ def test_kernel_op_inv_quad_logdet_values_and_grads(regime):
         _assert_leaf_grads(gj, gt, 1e-3, 1e-4, "kernel-iqld-stoch")
 
 
+def test_kernel_op_batched_values_and_grads():
+    """BATCHED inputs x (2, n, d) through KernelLinearOperator on both
+    sides: the per-batch blocked covar path vs the reference's batched
+    broadcast (reference kernel_linear_operator.py:174-230)."""
+    rng = np.random.default_rng(9)
+    xb = rng.standard_normal((2, 24, 3))
+    noise_b = rng.uniform(0.3, 0.8, (2, 24))
+    rhs = rng.standard_normal((2, 24, 2))
+    # (1, 1)-shaped hyperparameters: the reference batch-expands params over
+    # their leading (ndim - num_nonbatch==2) dims, so 0-d params cannot ride
+    # a batched operator (kernel_linear_operator.py:162-172)
+    ls2, os2 = _LS.reshape(1, 1), _OS.reshape(1, 1)
+
+    def t_loss(leaves):
+        x, ls, os_, noise = leaves
+        k = R.KernelLinearOperator(
+            x, x, covar_func=_rbf_torch, lengthscale=ls, outputscale=os_
+        )
+        op = R.AddedDiagLinearOperator(k, R.DiagLinearOperator(noise))
+        iq, ld = op.inv_quad_logdet(tt(rhs), logdet=True)
+        return (iq + 0.7 * ld).sum()
+
+    def j_loss(x, ls, os_, noise):
+        k = O.KernelLinearOperator(
+            x, x, {"lengthscale": ls, "outputscale": os_},
+            covar_func=_rbf_jax, symmetric=True,
+        )
+        op = O.AddedDiagLinearOperator(k, O.DiagLinearOperator(noise))
+        iq, ld = op.inv_quad_logdet(tj(rhs), logdet=True)
+        return jnp.sum(iq + 0.7 * ld)
+
+    with _Ctx(rs.max_cholesky_size(800), js.max_cholesky_size(800)):
+        leaves_t = [tt(v).requires_grad_(True) for v in (xb, ls2, os2, noise_b)]
+        lt = t_loss(leaves_t)
+        gt = [np.asarray(g.detach()) for g in torch.autograd.grad(lt, leaves_t)]
+        leaves_j = [tj(v) for v in (xb, ls2, os2, noise_b)]
+        lj, gj = jax.value_and_grad(j_loss, argnums=(0, 1, 2, 3))(*leaves_j)
+
+    np.testing.assert_allclose(float(lj), float(lt.detach()), rtol=1e-8, atol=1e-8)
+    for name, a, b in zip(LEAF_NAMES, gj, gt):
+        np.testing.assert_allclose(
+            np.asarray(a), b, rtol=1e-6, atol=1e-8,
+            err_msg=f"kernel-batched leaf {name}",
+        )
+
+
 # ---------------------------------------------------------------------------
 # diagonalization
 # ---------------------------------------------------------------------------
