@@ -271,6 +271,60 @@ def test_kernel_op_batched_values_and_grads():
         )
 
 
+def test_kernel_op_multi_output_layout():
+    """num_outputs_per_input=(2, 2): the multi-output (LMC-style) row/column
+    interleaving must match the reference's layout exactly — to_dense,
+    matmul, solve, diagonal (reference kernel_linear_operator.py:130-134,
+    402-410).  (The reference's own __getitem__ crashes on this path with a
+    dense covar_mat — ours slices fine, so only the common surface is
+    compared.)"""
+    rng = np.random.default_rng(31)
+    n, t = 6, 2
+    x = rng.standard_normal((n, 3))
+    B = np.array([[1.0, 0.4], [0.4, 0.8]])
+
+    def covar_t(x1, x2, lengthscale):
+        d2 = ((x1.unsqueeze(-2) - x2.unsqueeze(-3)) / lengthscale).pow(2).sum(-1)
+        return torch.kron(torch.exp(-0.5 * d2), tt(B))
+
+    def covar_j(x1, x2, lengthscale):
+        d2 = jnp.sum(
+            ((x1[..., :, None, :] - x2[..., None, :, :]) / lengthscale) ** 2, -1
+        )
+        return jnp.kron(jnp.exp(-0.5 * d2), tj(B))
+
+    ls = np.asarray(1.1)
+    ot = R.KernelLinearOperator(
+        tt(x), tt(x), covar_func=covar_t, lengthscale=tt(ls),
+        num_outputs_per_input=(t, t),
+    )
+    oj = O.KernelLinearOperator(
+        tj(x), tj(x), {"lengthscale": tj(ls)},
+        covar_func=covar_j, symmetric=True, num_outputs_per_input=(t, t),
+    )
+    np.testing.assert_allclose(
+        np.asarray(oj.to_dense()), np.asarray(ot.to_dense().detach()),
+        rtol=1e-12, atol=1e-14,
+    )
+    rhs = rng.standard_normal((n * t, 3))
+    np.testing.assert_allclose(
+        np.asarray(oj @ tj(rhs)), np.asarray((ot @ tt(rhs)).detach()),
+        rtol=1e-12, atol=1e-13,
+    )
+    np.testing.assert_allclose(
+        np.asarray(oj.diagonal()), np.asarray(ot.diagonal().detach()),
+        rtol=1e-12, atol=1e-14,
+    )
+    noise = rng.uniform(0.5, 1.0, n * t)
+    st = R.AddedDiagLinearOperator(ot, R.DiagLinearOperator(tt(noise)))
+    sj = O.AddedDiagLinearOperator(oj, O.DiagLinearOperator(tj(noise)))
+    with _Ctx(rs.max_cholesky_size(800), js.max_cholesky_size(800)):
+        np.testing.assert_allclose(
+            np.asarray(sj.solve(tj(rhs))), np.asarray(st.solve(tt(rhs)).detach()),
+            rtol=1e-9, atol=1e-11,
+        )
+
+
 # ---------------------------------------------------------------------------
 # diagonalization
 # ---------------------------------------------------------------------------
