@@ -405,7 +405,9 @@ def _mvn_specs():
     rng = np.random.default_rng(13)
     n = 24
     K = _psd(rng, n)
+    K2 = _psd(rng, n, 0.5)
     d = rng.uniform(0.5, 2.5, n)
+    A, B = _psd(rng, 4), _psd(rng, 6)
     return {
         "dense": (
             lambda: O.DenseLinearOperator(tj(K)),
@@ -417,6 +419,23 @@ def _mvn_specs():
             ),
             lambda: R.AddedDiagLinearOperator(
                 R.DenseLinearOperator(tt(K)), R.DiagLinearOperator(tt(d))
+            ),
+        ),
+        # structured samplers: per-term (PsdSum) and factor-root (Kronecker)
+        "psd_sum": (
+            lambda: O.PsdSumLinearOperator(
+                (O.DenseLinearOperator(tj(K)), O.DenseLinearOperator(tj(K2)))
+            ),
+            lambda: R.PsdSumLinearOperator(
+                R.DenseLinearOperator(tt(K)), R.DenseLinearOperator(tt(K2))
+            ),
+        ),
+        "kronecker": (
+            lambda: O.KroneckerProductLinearOperator(
+                O.DenseLinearOperator(tj(A)), O.DenseLinearOperator(tj(B))
+            ),
+            lambda: R.KroneckerProductLinearOperator(
+                R.DenseLinearOperator(tt(A)), R.DenseLinearOperator(tt(B))
             ),
         ),
     }
